@@ -1,0 +1,106 @@
+"""Static-shape batch contract — the TPU replacement for ragged Instances.
+
+Every sample is padded to (canvas_h, canvas_w) pixels and `max_gt` ground-
+truth slots with validity masks; a batch is a single pytree of fixed-shape
+arrays, so the full train/eval step jit-compiles once. This is the central
+architectural change vs the reference's Detectron2 ``Instances`` lists
+(SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class GroundTruth:
+    """Padded per-image ground truth.
+
+    boxes2d are XYXY at *network* resolution. boxes3d rows are
+    [u, v, z, w3d, h3d, l3d, x3d, y3d, z3d] (u, v at network resolution),
+    matching the reference gt_boxes3D contract (dataset_mapper.py:258).
+    classes: contiguous category id, or -1 for ignore-region annotations.
+    valid: slot holds a real annotation (incl. ignores); padding is False.
+    """
+
+    boxes2d: jnp.ndarray  # (B, M, 4)
+    classes: jnp.ndarray  # (B, M) int32
+    boxes3d: jnp.ndarray  # (B, M, 9)
+    poses: jnp.ndarray  # (B, M, 3, 3)
+    valid: jnp.ndarray  # (B, M) bool
+
+    @property
+    def num_slots(self):
+        return self.boxes2d.shape[1]
+
+
+@struct.dataclass
+class Batch:
+    """One jit-able batch."""
+
+    image: jnp.ndarray  # (B, H, W, 3) float32, mean/std normalised
+    image_hw: jnp.ndarray  # (B, 2) int32 valid extent inside the canvas
+    K: jnp.ndarray  # (B, 3, 3) original intrinsics
+    im_scale_ratio: jnp.ndarray  # (B,) original_height / network_height
+    image_id: jnp.ndarray  # (B,) int32
+    gt: Optional[GroundTruth] = None
+    depth_map: Optional[jnp.ndarray] = None  # (B, H, W)
+    ground_map: Optional[jnp.ndarray] = None  # (B, H, W)
+
+    @property
+    def batch_size(self):
+        return self.image.shape[0]
+
+
+def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
+    """Stack mapper outputs (numpy dicts) into one padded Batch."""
+    b = len(samples)
+    h, w = samples[0]["image"].shape[:2]
+    image = np.stack([s["image"] for s in samples]).astype(np.float32)
+    image_hw = np.stack([s["image_hw"] for s in samples]).astype(np.int32)
+    K = np.stack([s["K"] for s in samples]).astype(np.float32)
+    ratio = np.asarray([s["im_scale_ratio"] for s in samples], np.float32)
+    image_id = np.asarray([s.get("image_id", -1) for s in samples], np.int32)
+
+    gt = None
+    if "gt_boxes2d" in samples[0]:
+        boxes2d = np.zeros((b, max_gt, 4), np.float32)
+        classes = np.full((b, max_gt), -1, np.int32)
+        boxes3d = np.zeros((b, max_gt, 9), np.float32)
+        poses = np.tile(np.eye(3, dtype=np.float32), (b, max_gt, 1, 1))
+        valid = np.zeros((b, max_gt), bool)
+        for i, s in enumerate(samples):
+            n = min(len(s["gt_boxes2d"]), max_gt)
+            if n:
+                boxes2d[i, :n] = s["gt_boxes2d"][:n]
+                classes[i, :n] = s["gt_classes"][:n]
+                boxes3d[i, :n] = s["gt_boxes3d"][:n]
+                poses[i, :n] = s["gt_poses"][:n]
+                valid[i, :n] = True
+        gt = GroundTruth(
+            boxes2d=jnp.asarray(boxes2d),
+            classes=jnp.asarray(classes),
+            boxes3d=jnp.asarray(boxes3d),
+            poses=jnp.asarray(poses),
+            valid=jnp.asarray(valid),
+        )
+
+    depth_map = ground_map = None
+    if with_maps and "depth_map" in samples[0] and samples[0]["depth_map"] is not None:
+        depth_map = jnp.asarray(np.stack([s["depth_map"] for s in samples]).astype(np.float32))
+    if with_maps and "ground_map" in samples[0] and samples[0]["ground_map"] is not None:
+        ground_map = jnp.asarray(np.stack([s["ground_map"] for s in samples]).astype(np.float32))
+
+    return Batch(
+        image=jnp.asarray(image),
+        image_hw=jnp.asarray(image_hw),
+        K=jnp.asarray(K),
+        im_scale_ratio=jnp.asarray(ratio),
+        image_id=jnp.asarray(image_id),
+        gt=gt,
+        depth_map=depth_map,
+        ground_map=ground_map,
+    )

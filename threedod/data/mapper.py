@@ -1,0 +1,150 @@
+"""Per-sample transform: load, resize, flip (with pose mirroring), pad.
+
+Parity target: cubercnn/data/dataset_mapper.py (DatasetMapper3D,
+transform_instance_annotations, annotations_to_instances):
+  * shortest-edge resize with max-size cap,
+  * horizontal flip mirrors the pose via _M1 @ R @ _M2 (:180-246),
+  * gt_boxes3D rows = [proj 2D center (u,v), z, dims(3), center_cam(3)],
+  * optional per-image depth/ground .npz maps resized alongside (:125-147).
+
+TPU addition: everything lands on a fixed canvas (canvas_h, canvas_w) with
+the valid extent recorded in image_hw, so batches have static shapes.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+_M1 = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+_M2 = np.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+
+
+class DatasetMapper3D:
+    """Record dict -> fixed-shape numpy sample dict."""
+
+    def __init__(
+        self,
+        cfg,
+        is_train: bool = True,
+        load_maps: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        self.is_train = is_train
+        self.load_maps = load_maps
+        self.canvas_h = cfg.shapes.canvas_height
+        self.canvas_w = cfg.shapes.canvas_width
+        self.min_sizes_train = cfg.input.min_size_train
+        self.min_size_test = cfg.input.min_size_test
+        self.max_size = cfg.input.max_size_train if is_train else cfg.input.max_size_test
+        self.random_flip = cfg.input.random_flip and is_train
+        self.pixel_mean = np.asarray(cfg.model.pixel_mean, np.float32)
+        self.pixel_std = np.asarray(cfg.model.pixel_std, np.float32)
+        self.format = cfg.input.format
+        self.rng = rng or np.random.RandomState(cfg.seed)
+
+    # -- geometry of the resize ------------------------------------------
+    def _scale_for(self, h: int, w: int) -> float:
+        if self.is_train:
+            min_size = int(self.rng.choice(self.min_sizes_train))
+        else:
+            min_size = self.min_size_test
+        scale = min_size / min(h, w)
+        scale = min(scale, self.max_size / max(h, w))
+        # static canvas: the resized image must fit entirely
+        scale = min(scale, self.canvas_h / h, self.canvas_w / w)
+        return scale
+
+    def __call__(self, record: dict) -> dict:
+        img = Image.open(record["file_name"]).convert("RGB")
+        w0, h0 = img.size
+        scale = self._scale_for(h0, w0)
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        img = img.resize((nw, nh), Image.BILINEAR)
+        image = np.asarray(img, np.float32)
+        if self.format == "BGR":
+            image = image[:, :, ::-1]
+
+        do_flip = self.random_flip and self.rng.rand() < 0.5
+        if do_flip:
+            image = image[:, ::-1, :]
+
+        image = (image - self.pixel_mean) / self.pixel_std
+
+        canvas = np.zeros((self.canvas_h, self.canvas_w, 3), np.float32)
+        canvas[:nh, :nw] = image
+
+        sample = {
+            "image": canvas,
+            "image_hw": np.array([nh, nw], np.int32),
+            "K": np.asarray(record["K"], np.float32),
+            # original_height / network_height (reference rcnn3d.py:59)
+            "im_scale_ratio": h0 / nh,
+            "image_id": record.get("image_id", -1),
+            "height": h0,
+            "width": w0,
+            "dataset_id": record.get("dataset_id", 0),
+        }
+
+        if self.load_maps:
+            sample["depth_map"] = self._load_map(record.get("depth_image_path"), "depth", nh, nw, do_flip)
+            sample["ground_map"] = self._load_map(record.get("ground_image_path"), "mask", nh, nw, do_flip)
+
+        annos = record.get("annotations")
+        if annos is not None:
+            K = np.asarray(record["K"], np.float64)
+            boxes, classes, boxes3d, poses = [], [], [], []
+            for anno in annos:
+                x, y, bw, bh = anno["bbox"]  # XYWH
+                box = np.array([x, y, x + bw, y + bh], np.float64) * scale
+                if do_flip:
+                    box = np.array([nw - box[2], box[1], nw - box[0], box[3]])
+
+                cam = np.asarray(anno["center_cam"], np.float64)
+                if cam[2] != 0:
+                    uvz = K @ cam
+                    u, v = uvz[0] / uvz[2], uvz[1] / uvz[2]
+                else:
+                    u = v = 0.0
+                u, v = u * scale, v * scale
+                if do_flip:
+                    u = nw - u
+
+                pose = np.asarray(anno["pose"], np.float32)
+                if do_flip:
+                    pose = _M1 @ pose @ _M2
+
+                boxes.append(box.astype(np.float32))
+                classes.append(int(anno["category_id"]))
+                boxes3d.append(
+                    np.concatenate(
+                        [[u, v, cam[2]], np.asarray(anno["dimensions"]), cam]
+                    ).astype(np.float32)
+                )
+                poses.append(pose)
+
+            sample["gt_boxes2d"] = np.asarray(boxes, np.float32).reshape(-1, 4)
+            sample["gt_classes"] = np.asarray(classes, np.int32)
+            sample["gt_boxes3d"] = np.asarray(boxes3d, np.float32).reshape(-1, 9)
+            sample["gt_poses"] = (
+                np.asarray(poses, np.float32).reshape(-1, 3, 3)
+                if poses
+                else np.zeros((0, 3, 3), np.float32)
+            )
+
+        return sample
+
+    def _load_map(self, path, key, nh, nw, do_flip):
+        if path is None or not os.path.exists(path):
+            return np.zeros((self.canvas_h, self.canvas_w), np.float32)
+        arr = np.load(path)[key]
+        m = np.asarray(
+            Image.fromarray(np.asarray(arr, np.float32)).resize((nw, nh), Image.NEAREST)
+        )
+        if do_flip:
+            m = m[:, ::-1]
+        canvas = np.zeros((self.canvas_h, self.canvas_w), np.float32)
+        canvas[:nh, :nw] = m
+        return canvas

@@ -1,0 +1,162 @@
+"""Ops tests: roi_align, NMS, matcher/sampler."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from threedod.ops import (
+    assign_fpn_levels,
+    batched_nms,
+    match_candidates,
+    multilevel_roi_align,
+    nms_mask,
+    roi_align,
+    subsample_fg_bg,
+)
+
+
+class TestRoiAlign:
+    def test_constant_map(self):
+        f = jnp.full((16, 16, 4), 3.0)
+        boxes = jnp.asarray([[2.0, 2.0, 10.0, 10.0]])
+        out = roi_align(f, boxes, output_size=7)
+        assert out.shape == (1, 7, 7, 4)
+        np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+    def test_linear_gradient_map(self):
+        # feature = x coordinate; pooled values should match bin centers
+        xs = jnp.arange(32.0)
+        f = jnp.tile(xs[None, :, None], (32, 1, 1))
+        boxes = jnp.asarray([[4.0, 4.0, 20.0, 20.0]])
+        out = np.asarray(roi_align(f, boxes, output_size=4))[0, :, :, 0]
+        # bin centers in x: 4 + (i+0.5)*4 - 0.5 (aligned)
+        expect = 4 + (np.arange(4) + 0.5) * 4 - 0.5
+        np.testing.assert_allclose(out[0], expect, atol=1e-4)
+
+    def test_out_of_bounds_zero(self):
+        f = jnp.ones((8, 8, 1))
+        boxes = jnp.asarray([[-100.0, -100.0, -50.0, -50.0]])
+        out = np.asarray(roi_align(f, boxes, output_size=3))
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+    def test_level_assignment(self):
+        boxes = jnp.asarray(
+            [[0, 0, 56, 56], [0, 0, 224, 224], [0, 0, 448, 448], [0, 0, 1000, 1000]],
+            jnp.float32,
+        )
+        lv = np.asarray(assign_fpn_levels(boxes))
+        assert lv.tolist() == [2, 4, 5, 6]
+
+    def test_multilevel(self):
+        feats = {
+            "p2": jnp.full((64, 64, 2), 2.0),
+            "p3": jnp.full((32, 32, 2), 3.0),
+            "p4": jnp.full((16, 16, 2), 4.0),
+            "p5": jnp.full((8, 8, 2), 5.0),
+            "p6": jnp.full((4, 4, 2), 6.0),
+        }
+        boxes = jnp.asarray([[10.0, 10.0, 40.0, 40.0], [0.0, 0.0, 250.0, 250.0]])
+        out = np.asarray(multilevel_roi_align(feats, boxes, output_size=2))
+        np.testing.assert_allclose(out[0], 2.0, atol=1e-5)  # small box -> p2
+        np.testing.assert_allclose(out[1], 4.0, atol=1e-5)  # 250px box -> p4
+
+
+def np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a + b - inter) > thresh:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+class TestNMS:
+    def test_matches_numpy_greedy(self):
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            xy = rng.uniform(0, 80, (50, 2))
+            wh = rng.uniform(5, 40, (50, 2))
+            boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+            scores = rng.rand(50).astype(np.float32)
+            keep = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+            expect = np_greedy_nms(boxes, scores, 0.5)
+            assert sorted(np.nonzero(keep)[0].tolist()) == expect
+
+    def test_invalid_never_kept(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8])
+        keep = np.asarray(nms_mask(boxes, scores, 0.5, valid=jnp.asarray([True, False])))
+        assert keep.tolist() == [True, False]
+
+    def test_batched_by_class(self):
+        # identical boxes, different classes: both survive
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8])
+        keep = np.asarray(batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.5))
+        assert keep.tolist() == [True, True]
+        keep_same = np.asarray(batched_nms(boxes, scores, jnp.asarray([0, 0]), 0.5))
+        assert keep_same.tolist() == [True, False]
+
+
+class TestMatcherSampler:
+    def test_match_thresholds(self):
+        gt = jnp.asarray([[0.0, 0, 10, 10]])
+        cands = jnp.asarray([[0.0, 0, 10, 10], [0.0, 0, 5, 10], [50.0, 50, 60, 60]])
+        m = match_candidates(gt, jnp.asarray([True]), cands, 0.3, 0.7)
+        assert np.asarray(m.matched_labels).tolist() == [1, -1, 0]
+
+    def test_low_quality_forcing(self):
+        gt = jnp.asarray([[0.0, 0, 10, 10]])
+        cands = jnp.asarray([[0.0, 0, 4, 10], [50.0, 50, 60, 60]])  # best iou 0.4
+        m = match_candidates(gt, jnp.asarray([True]), cands, 0.3, 0.7, allow_low_quality=True)
+        assert int(np.asarray(m.matched_labels)[0]) == 1
+
+    def test_no_gt_all_bg(self):
+        gt = jnp.zeros((2, 4))
+        cands = jnp.asarray([[0.0, 0, 10, 10]])
+        m = match_candidates(gt, jnp.zeros((2,), bool), cands, 0.3, 0.7)
+        assert int(np.asarray(m.matched_labels)[0]) == 0
+
+    def test_subsample_counts_and_prefix(self):
+        rng = np.random.RandomState(0)
+        labels = jnp.asarray(np.concatenate([np.ones(30), np.zeros(200), -np.ones(20)]).astype(np.int32))
+        ious = jnp.asarray(rng.rand(250).astype(np.float32))
+        idx, is_fg, valid = subsample_fg_bg(jax.random.PRNGKey(0), labels, ious, 64, 0.25)
+        assert idx.shape == (64,)
+        n_fg = int(np.asarray(is_fg).sum())
+        assert n_fg == 16  # min(30, 64*0.25)
+        # fg occupies the leading prefix
+        assert np.asarray(is_fg)[:n_fg].all()
+        assert not np.asarray(is_fg)[n_fg:].any()
+        assert bool(np.asarray(valid).all())
+        # sampled indices actually have the right labels
+        lab = np.asarray(labels)[np.asarray(idx)]
+        assert (lab[:n_fg] == 1).all() and (lab[n_fg:] == 0).all()
+
+    def test_subsample_scarce_fg(self):
+        labels = jnp.asarray(np.concatenate([np.ones(3), np.zeros(10)]).astype(np.int32))
+        ious = jnp.ones((13,)) * 0.5
+        idx, is_fg, valid = subsample_fg_bg(jax.random.PRNGKey(1), labels, ious, 8, 0.5)
+        assert int(np.asarray(is_fg).sum()) == 3  # all available fg
+        assert int(np.asarray(valid).sum()) == 8  # backfilled with bg
+
+    def test_iou_weighting_bias(self):
+        # candidates with iou ~1 should be sampled far more often than ~0.01
+        labels = jnp.asarray(np.ones(100, np.int32))
+        ious = jnp.asarray(np.concatenate([np.full(50, 1.0), np.full(50, 0.01)]).astype(np.float32))
+        counts = np.zeros(100)
+        for s in range(50):
+            idx, is_fg, _ = subsample_fg_bg(jax.random.PRNGKey(s), labels, ious, 20, 1.0)
+            counts[np.asarray(idx)[np.asarray(is_fg)]] += 1
+        assert counts[:50].sum() > 5 * counts[50:].sum()

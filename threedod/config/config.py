@@ -168,6 +168,7 @@ class ShapesConfig:
     max_gt: int = 64  # max GT instances per image (padded/masked)
     max_detections: int = 100  # TEST.DETECTIONS_PER_IMAGE
     roi_batch: int = 512  # sampled ROIs per image (train)
+    nms_candidates: int = 1024  # class-flattened candidates entering final NMS
     ransac_hypotheses: int = 1000
 
 

@@ -1,0 +1,87 @@
+"""ResNet backbones (18/34/50/101, torchvision topology) in flax.
+
+Parity target: cubercnn/modeling/backbone/resnet.py:12-110 — torchvision
+resnets re-exposed as 5-level feature extractors
+{p2: s4, p3: s8, p4: s16, p5: s32, p6: s64 (stride-2 maxpool of p5)}.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvBN, max_pool
+
+
+class ResBasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = ConvBN(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype, name="conv2")(out, train)
+        if self.downsample:
+            identity = ConvBN(self.features, 1, self.stride, relu=False, dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+class ResBottleneck(nn.Module):
+    features: int  # output channels (= planes * 4)
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        planes = self.features // 4
+        out = ConvBN(planes, 1, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBN(planes, 3, self.stride, dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBN(self.features, 1, relu=False, dtype=self.dtype, name="conv3")(out, train)
+        if self.downsample:
+            identity = ConvBN(self.features, 1, self.stride, relu=False, dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    block_counts: Tuple[int, int, int, int]
+    bottleneck: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = 4 if self.bottleneck else 1
+        blk = ResBottleneck if self.bottleneck else ResBasicBlock
+
+        x = ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x, train)
+        x = max_pool(x, 3, 2, padding=1)
+
+        outs = {}
+        feats = [64 * width, 128 * width, 256 * width, 512 * width]
+        for stage, (n_blocks, f) in enumerate(zip(self.block_counts, feats)):
+            stride = 1 if stage == 0 else 2
+            for i in range(n_blocks):
+                s = stride if i == 0 else 1
+                down = i == 0 and (s != 1 or stage == 0 and self.bottleneck)
+                x = blk(f, s, down, dtype=self.dtype, name=f"layer{stage + 1}_{i}")(x, train)
+            outs[f"p{stage + 2}"] = x
+        outs["p6"] = max_pool(x, 1, 2)
+        return outs
+
+
+_RESNET_SPECS = {
+    "resnet18": dict(block_counts=(2, 2, 2, 2), bottleneck=False),
+    "resnet34": dict(block_counts=(3, 4, 6, 3), bottleneck=False),
+    "resnet50": dict(block_counts=(3, 4, 6, 3), bottleneck=True),
+    "resnet101": dict(block_counts=(3, 4, 23, 3), bottleneck=True),
+}
+
+
+def build_resnet(name: str, dtype=jnp.float32) -> ResNet:
+    spec = _RESNET_SPECS[name]
+    return ResNet(block_counts=spec["block_counts"], bottleneck=spec["bottleneck"], dtype=dtype)

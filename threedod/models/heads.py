@@ -1,0 +1,165 @@
+"""Learnable heads: 2D box head/predictor, 3D cube head, score head.
+
+Parity targets:
+  FastRCNNConvFCHead + FastRCNNOutputLayers as configured by the reference
+  (configs/Base.yaml ROI_BOX_HEAD: 2 FC x 1024),
+  CubeHead (cubercnn/modeling/roi_heads/cube_head.py:24-202): per-class
+  outputs for 2D-center deltas / dims / 6d-or-quat-or-euler pose / z (per
+  cluster bin) / uncertainty, with shared or per-branch FC stacks and the
+  reference's bias initialisations (z bias 1, uncertainty bias 5),
+  ScoreHead (cube_head.py:205-239).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.rotations import (
+    euler_to_matrix,
+    normalize_quaternion,
+    quaternion_to_matrix,
+    rotation_6d_to_matrix,
+)
+
+
+def _xavier(scale=1.0):
+    return nn.initializers.xavier_uniform()
+
+
+def _normal(std):
+    return nn.initializers.normal(stddev=std)
+
+
+class BoxHeadMLP(nn.Module):
+    """Pooled ROI features -> fc feature vector (FastRCNNConvFCHead)."""
+
+    num_fc: int = 2
+    fc_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fc):
+            x = nn.Dense(self.fc_dim, kernel_init=_xavier(), dtype=self.dtype, name=f"fc{i + 1}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class BoxPredictor(nn.Module):
+    """fc features -> (class scores (C+1), per-class box deltas (C*4))."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(
+            self.num_classes + 1, kernel_init=_normal(0.01), dtype=jnp.float32, name="cls_score"
+        )(x.astype(jnp.float32))
+        deltas = nn.Dense(
+            self.num_classes * 4, kernel_init=_normal(0.001), dtype=jnp.float32, name="bbox_pred"
+        )(x.astype(jnp.float32))
+        return scores, deltas
+
+
+class CubeHeadNet(nn.Module):
+    """Pooled 7x7 ROI features -> raw per-class 3D outputs.
+
+    Returns (deltas_2d (N, C, 2), z (N, bins, C) or (N, C, 1), dims (N, C, 3),
+    pose (N, C, 3, 3), uncert (N, C) or None).
+    """
+
+    num_classes: int
+    num_fc: int = 2
+    fc_dim: int = 1024
+    shared_fc: bool = True
+    z_type: str = "direct"
+    pose_type: str = "6d"
+    cluster_bins: int = 1
+    use_confidence: float = 1.0
+    dtype: Any = jnp.float32
+
+    def _fc_stack(self, x, name):
+        for i in range(self.num_fc):
+            x = nn.Dense(self.fc_dim, kernel_init=_xavier(), dtype=self.dtype, name=f"{name}_fc{i + 1}")(x)
+            x = nn.relu(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.shape[0]
+        c = self.num_classes
+        x = x.reshape(n, -1)
+
+        if self.shared_fc:
+            feat = self._fc_stack(x, "shared")
+            f_xy = f_dims = f_pose = f_z = f_conf = feat
+        else:
+            f_xy = self._fc_stack(x, "xy")
+            f_dims = self._fc_stack(x, "dims")
+            f_pose = self._fc_stack(x, "pose")
+            f_z = self._fc_stack(x, "z")
+            f_conf = self._fc_stack(x, "conf") if self.use_confidence > 0 else None
+
+        def head(feat, dim, name, bias=0.0):
+            return nn.Dense(
+                dim,
+                kernel_init=_normal(0.001),
+                bias_init=nn.initializers.constant(bias),
+                dtype=jnp.float32,
+                name=name,
+            )(feat.astype(jnp.float32))
+
+        deltas_2d = head(f_xy, c * 2, "bbox_3D_center_deltas").reshape(n, c, 2)
+        dims = head(f_dims, c * 3, "bbox_3D_dims").reshape(n, c, 3)
+
+        pose_dim = {"6d": 6, "quaternion": 4, "euler": 3}[self.pose_type]
+        pose_raw = head(f_pose, c * pose_dim, "bbox_3D_pose").reshape(n * c, pose_dim)
+        if self.pose_type == "6d":
+            pose = rotation_6d_to_matrix(pose_raw)
+        elif self.pose_type == "quaternion":
+            pose = quaternion_to_matrix(normalize_quaternion(pose_raw))
+        else:
+            pose = euler_to_matrix(pose_raw)
+        pose = pose.reshape(n, c, 3, 3)
+
+        bins = max(self.cluster_bins, 1)
+        # reference initialises the z bias to 1 (cube_head.py:143)
+        z = head(f_z, c * bins, "bbox_3D_center_depth", bias=1.0)
+        if self.cluster_bins > 1:
+            z = z.reshape(n, bins, c)
+        else:
+            z = z.reshape(n, c)
+
+        uncert = None
+        if self.use_confidence > 0:
+            # bias 5 -> initial confidence ~ e^-5 (cube_head.py:149)
+            uncert = jnp.clip(head(f_conf, c, "bbox_3D_uncertainty", bias=5.0), 0.01, None)
+
+        return deltas_2d, z, dims, pose, uncert
+
+
+class ScoreHeadNet(nn.Module):
+    """ScoreNet MLP head (cube_head.py:205-239): features -> Cubes params."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        x = nn.relu(nn.Dense(256, name="fc1")(x))
+        x = nn.Dense(128, name="fc2")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        x = nn.relu(x)
+        x = nn.relu(nn.Dense(64, name="fc3")(x))
+        centers = nn.Dense(3, name="fc_cube_centers")(x)
+        dims = nn.Dense(3, name="fc_dims")(x)
+        rot6d = nn.Dense(6, name="rotation_6d")(x)
+        z = jnp.exp(jnp.clip(centers[:, 2], None, 5.0))
+        centers = jnp.concatenate([centers[:, :2], z[:, None]], axis=1)
+        dims = jnp.exp(jnp.clip(dims, None, 5.0))
+        R = rotation_6d_to_matrix(rot6d)
+        return centers, dims, R

@@ -1,0 +1,134 @@
+"""ROIAlign (V2 semantics: aligned=True) as gather-based bilinear sampling.
+
+Replaces Detectron2's CUDA ROIAlignV2 (pooler construction at reference
+roi_heads.py:801-806, 2075-2080). On TPU the op is expressed as one fused
+gather+lerp program vmapped over ROIs; multi-level FPN pooling computes the
+assignment level per ROI and selects among per-level pooled results (XLA
+turns the 5-way select into cheap masked adds — no dynamic shapes).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign on a single feature map.
+
+    Args:
+      features: (H, W, C) feature map.
+      boxes: (N, 4) XYXY boxes in *image* coordinates.
+      output_size: pooled spatial size S.
+      spatial_scale: feature stride reciprocal (1/stride).
+      sampling_ratio: bilinear samples per bin edge (fixed for static shapes;
+        the reference's adaptive `sampling_ratio=0` is data-dependent).
+
+    Returns (N, S, S, C).
+    """
+    h, w, c = features.shape
+    s = output_size
+    r = sampling_ratio
+
+    # aligned=True: shift by half a pixel so sample coords are pixel-centered
+    boxes = boxes * spatial_scale - 0.5
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+
+    bin_w = bw / s
+    bin_h = bh / s
+
+    # sample grid: for bin i, samples at (i + (k + 0.5)/r) * bin
+    grid = (jnp.arange(s * r) + 0.5) / r  # (s*r,) in bin units
+    sx = x1[:, None] + grid[None, :] * bin_w[:, None]  # (N, s*r)
+    sy = y1[:, None] + grid[None, :] * bin_h[:, None]
+
+    def bilinear(fmap, xs, ys):
+        # xs, ys: (N, S) -> sample the outer-product grid (N, S, S, C)
+        Y = ys[:, :, None]  # (N, S, 1)
+        X = xs[:, None, :]  # (N, 1, S)
+        y0f = jnp.floor(Y)
+        x0f = jnp.floor(X)
+        dy = (Y - y0f)[..., None]
+        dx = (X - x0f)[..., None]
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+
+        def gather(yi, xi):
+            yi, xi = jnp.broadcast_arrays(yi, xi)
+            valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            vals = fmap[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+            return vals * valid[..., None]
+
+        v00 = gather(y0, x0)
+        v01 = gather(y0, x0 + 1)
+        v10 = gather(y0 + 1, x0)
+        v11 = gather(y0 + 1, x0 + 1)
+        return (
+            v00 * (1 - dy) * (1 - dx)
+            + v01 * (1 - dy) * dx
+            + v10 * dy * (1 - dx)
+            + v11 * dy * dx
+        )  # (N, S, S, C)
+
+    samples = bilinear(features, sx, sy)
+    # average within each bin: (N, s, r, s, r, C) -> (N, s, s, C)
+    n = boxes.shape[0]
+    samples = samples.reshape(n, s, r, s, r, c).mean(axis=(2, 4))
+    return samples
+
+
+def assign_fpn_levels(
+    boxes: jnp.ndarray,
+    min_level: int = 2,
+    max_level: int = 6,
+    canonical_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN level per ROI: floor(k0 + log2(sqrt(area)/224)), clamped.
+
+    Detectron2 ROIPooler assignment rule.
+    """
+    area = jnp.maximum(
+        (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-6
+    )
+    lvl = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(area) / canonical_size + 1e-8))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    features: dict,
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    strides: dict | None = None,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """FPN ROIAlign: pool from each level, select by assignment.
+
+    features: {'p2': (H2, W2, C), ...}; boxes: (N, 4) image coords.
+    Returns (N, S, S, C).
+    """
+    if strides is None:
+        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+    names = sorted(features.keys())
+    level_ids = [int(n[1:]) for n in names]
+    assign = assign_fpn_levels(boxes, min(level_ids), max(level_ids))
+
+    pooled = 0.0
+    for name in names:
+        lvl = int(name[1:])
+        p = roi_align(
+            features[name],
+            boxes,
+            output_size=output_size,
+            spatial_scale=1.0 / strides[name],
+            sampling_ratio=sampling_ratio,
+        )
+        pooled = pooled + p * (assign == lvl)[:, None, None, None]
+    return pooled

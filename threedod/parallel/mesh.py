@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers (the framework's entire "comm backend").
+
+Parity target: the reference's NCCL/DDP plumbing (tools/train_net.py:477-536,
+allreduce_dict :497-524, depth/metric_depth/util/dist_helper.py). On TPU none
+of that exists as user code: a 1-D `Mesh('data')` over all chips plus
+NamedSharding on the batch makes XLA insert all gradient/metric collectives
+over ICI/DCN (SURVEY.md §5.8). Multi-host bringup is `jax.distributed
+.initialize()` + the same mesh over `jax.devices()`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):
+    """Multi-host bringup. No-op on a single host with no env configured."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(axis_name: str = "data", devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (global) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=(axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a Batch pytree with batch-axis sharding over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def place(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, batch)

@@ -1,0 +1,228 @@
+"""Training loop with divergence-tolerant stabilizer and mesh data-parallel.
+
+Parity target: tools/train_net.py:127-335 (do_train) and :456-493 (retry
+loop in main):
+  * rolling-mean loss divergence detector (TOLERANCE=4, GAMMA=0.02),
+  * per-parameter NaN/Inf gradient scan after backward,
+  * cluster-consistent skip (here: the jit program is SPMD-global, so every
+    host/chip computes the identical global flag — no explicit allreduce),
+  * retry/restart: if exploding-iteration fraction >= STABILIZE past half a
+    checkpoint period, tear down and restart from the last checkpoint, up to
+    MAX_TRAINING_ATTEMPTS,
+  * checkpointing suppressed while diverging.
+
+TPU re-design: one jitted train_step over a batch sharded on a 1-D
+`Mesh('data')`; gradients average implicitly through the sharded loss mean
+(ICI all-reduce inserted by XLA); the divergence flag zeroes the gradient
+inside the step, so skipped iterations cost one compiled step, not a
+recompile.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .checkpoint import CheckpointManager
+from .events import EventStorage
+from .solver import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+TOLERANCE = 4.0
+GAMMA = 0.02
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    def __init__(self, cfg, model, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.optimizer, self.schedule = None, None
+        self._train_step = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, key, sample_batch) -> TrainState:
+        variables = self.model.init(
+            {"params": key, "sampling": jax.random.fold_in(key, 1)}, sample_batch, train=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.optimizer, self.schedule = build_optimizer(self.cfg, params)
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        # replicate over the mesh
+        rep = replicated(self.mesh)
+        return jax.device_put(state, rep)
+
+    # ------------------------------------------------------------------
+    def make_train_step(self) -> Callable:
+        model = self.model
+        optimizer = self.optimizer
+        freeze_bn = self.cfg.model.freeze_bn or not self.cfg.model.use_bn
+
+        def train_step(state: TrainState, batch, key, rolling_loss):
+            def loss_fn(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch,
+                    train=True,
+                    rngs={"sampling": key},
+                    mutable=["batch_stats"],
+                )
+                losses, metrics = out
+                total = sum(jax.tree.leaves(losses))
+                return total, (losses, metrics, mut.get("batch_stats", state.batch_stats))
+
+            (total, (losses, metrics, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+
+            grads_finite = jnp.all(
+                jnp.asarray([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
+            )
+            loss_ok = jnp.isfinite(total) & (total <= rolling_loss * TOLERANCE)
+            diverging = ~(grads_finite & loss_ok)
+
+            # zero the gradient on divergence: the optimizer still steps so
+            # the LR schedule count advances (reference scheduler.step runs
+            # every iteration), but parameters stay put.
+            grads = jax.tree.map(lambda g: jnp.where(diverging, 0.0, g), grads)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            if freeze_bn:
+                new_bs = state.batch_stats
+            else:
+                new_bs = jax.tree.map(
+                    lambda new, old: jnp.where(diverging, old, new), new_bs, state.batch_stats
+                )
+            new_state = TrainState(
+                params=new_params, batch_stats=new_bs, opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, total, losses, metrics, diverging
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_loader,
+        start_iter: int = 0,
+        eval_fn: Optional[Callable] = None,
+        storage: Optional[EventStorage] = None,
+    ):
+        """One training attempt. Returns (state, True) on success or
+        (state, False) when the stabilizer demands a restart."""
+        cfg = self.cfg
+        max_iter = cfg.solver.max_iter
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        storage = storage or EventStorage(cfg.output_dir)
+        ckpt = CheckpointManager(cfg.output_dir, cfg.solver.checkpoint_period, max_iter)
+
+        recent_loss = None
+        iterations_success = 0
+        iterations_explode = 0
+        key = jax.random.PRNGKey(cfg.seed)
+
+        data_iter = iter(train_loader)
+        iteration = start_iter
+        while iteration < max_iter:
+            batch = shard_batch(next(data_iter), self.mesh)
+            key, step_key = jax.random.split(key)
+            rolling = np.inf if recent_loss is None else recent_loss
+            state, total, losses, metrics, diverging = self._train_step(
+                state, batch, step_key, jnp.asarray(rolling, jnp.float32)
+            )
+            total = float(total)
+            diverging = bool(diverging) and cfg.model.stabilize > 0
+
+            if recent_loss is None:
+                recent_loss = total * 2.0 if np.isfinite(total) else 1e6
+            if diverging:
+                iterations_explode += 1
+                logger.warning(
+                    "Skipping gradient update: loss %.2f vs rolling mean %.2f",
+                    total, recent_loss,
+                )
+            else:
+                recent_loss = recent_loss * (1 - GAMMA) + total * GAMMA
+                iterations_success += 1
+
+            storage.iter = iteration
+            scalars = {"total_loss": total, "lr": float(self.schedule(iteration))}
+            scalars.update({k: float(v) for k, v in losses.items()})
+            scalars.update({k: float(v) for k, v in metrics.items()})
+            storage.put_scalars(**scalars)
+
+            total_iters = iterations_success + iterations_explode
+            retry = (
+                cfg.model.stabilize > 0
+                and (iterations_explode / max(total_iters, 1)) >= cfg.model.stabilize
+                and total_iters > cfg.solver.checkpoint_period * 0.5
+            )
+            if retry:
+                logger.warning(
+                    "!! Restarting training at %d iters. Exploding loss %d%% of iters !!",
+                    iteration, int(100 * iterations_explode / total_iters),
+                )
+                return state, False
+
+            if (
+                eval_fn is not None
+                and not diverging
+                and cfg.test.eval_period > 0
+                and (iteration + 1) % cfg.test.eval_period == 0
+                and iteration != max_iter - 1
+            ):
+                eval_fn(state, iteration + 1, storage)
+
+            if (iteration + 1) % storage.window == 0 or iteration == max_iter - 1:
+                storage.flush(max_iter)
+
+            # suppress checkpoints while potentially diverging
+            if not diverging and (
+                iterations_explode / max(total_iters, 1) < 0.5 * cfg.model.stabilize
+                or cfg.model.stabilize <= 0
+            ):
+                ckpt.step(iteration, {"state": jax.device_get(state), "iteration": iteration})
+
+            iteration += 1
+
+        return state, True
+
+
+def train_with_retries(cfg, build_fn, train_loader_fn, eval_fn=None):
+    """Full retry state machine (reference main loop train_net.py:456-493)."""
+    attempt = 0
+    storage = EventStorage(cfg.output_dir)
+    while attempt < cfg.max_training_attempts:
+        trainer, state, start_iter = build_fn(resume=attempt > 0)
+        state, success = trainer.fit(
+            state, train_loader_fn(), start_iter=start_iter, eval_fn=eval_fn, storage=storage
+        )
+        if success:
+            return trainer, state
+        attempt += 1
+        logger.warning("training attempt %d failed; retrying from checkpoint", attempt)
+    raise RuntimeError(f"training failed after {cfg.max_training_attempts} attempts")

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Train / evaluate Cube R-CNN models (TPU-native).
+
+Parity target: tools/train_net.py in the reference — dataset registration,
+priors computation, model build, divergence-tolerant training with retries,
+periodic evaluation — re-expressed over the jit/mesh trainer.
+
+Usage:
+  python tools/train_net.py --config-file configs/Base_Synth.yaml
+  python tools/train_net.py --config-file ... --eval-only
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from threedod.config import load_config
+from threedod.data import (
+    CATALOG,
+    Omni3D,
+    TestLoader,
+    TrainLoader,
+    compute_priors,
+    get_dataset_dicts,
+    get_filter_settings_from_cfg,
+    load_omni3d_json,
+    register_and_store_model_metadata,
+)
+from threedod.evaluation import (
+    Omni3DEvaluationHelper,
+    gts_from_records,
+    inference_on_dataset,
+)
+from threedod.models import build_model
+from threedod.train import EventStorage, Trainer
+from threedod.train.checkpoint import CheckpointManager
+from threedod.parallel import make_mesh
+
+logger = logging.getLogger("threedod")
+
+
+def register_datasets(cfg, names):
+    fs = get_filter_settings_from_cfg(cfg)
+    root = os.path.join(cfg.datasets.root, "Omni3D")
+    for name in names:
+        path = os.path.join(root, f"{name}.json")
+        records = load_omni3d_json(path, cfg.datasets.root, name, fs)
+        CATALOG.register(name, lambda r=records: r)
+
+
+def setup(args):
+    cfg = load_config(args.config_file, args.opts)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s")
+
+    fs = get_filter_settings_from_cfg(cfg)
+    train_paths = [
+        os.path.join(cfg.datasets.root, "Omni3D", f"{n}.json") for n in cfg.datasets.train
+    ]
+    datasets = Omni3D(train_paths, filter_settings=fs)
+    meta = register_and_store_model_metadata(datasets, cfg.output_dir, fs)
+    if not cfg.datasets.category_names:
+        cfg.datasets.category_names = tuple(meta.thing_classes)
+    cfg.model.roi_heads.num_classes = len(meta.thing_classes)
+
+    register_datasets(cfg, list(cfg.datasets.train) + list(cfg.datasets.test))
+    priors = compute_priors(cfg, datasets, meta.thing_classes)
+    return cfg, meta, priors
+
+
+def do_test(cfg, model, variables, meta, storage=None, iteration=0):
+    id_map_inv = {v: k for k, v in meta.thing_dataset_id_to_contiguous_id.items()}
+    helper = Omni3DEvaluationHelper(
+        list(cfg.datasets.test), meta.thing_classes, meta.thing_dataset_id_to_contiguous_id
+    )
+    infer_fn = jax.jit(lambda b: model.apply(variables, b, train=False))
+    for name in cfg.datasets.test:
+        records = get_dataset_dicts([name])
+        loader = TestLoader(records, cfg, batch_size=cfg.test.batch_size)
+        preds, timing = inference_on_dataset(infer_fn, loader, id_map_inv)
+        logger.info(
+            "%s: %d preds over %d images (%.3f im/s, %.4f s/iter compute)",
+            name, len(preds), timing["images"], timing["images_per_s"],
+            timing["s_per_iter_compute"],
+        )
+        gts = gts_from_records(records)
+        res = helper.evaluate(name, gts, preds)
+        logger.info("%s: AP2D %.2f AP3D %.2f (@15 %.2f @25 %.2f @50 %.2f)",
+                    name, res["AP2D"], res["AP3D"], res["AP3D@15"], res["AP3D@25"], res["AP3D@50"])
+        if storage is not None:
+            storage.put_scalars(**{f"{name}/AP2D": res["AP2D"], f"{name}/AP3D": res["AP3D"]})
+    return helper.summarize_all()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = ap.parse_args()
+
+    cfg, meta, priors = setup(args)
+    model = build_model(cfg, priors=priors)
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, mesh=mesh)
+
+    train_dicts = get_dataset_dicts(cfg.datasets.train)
+    loader = TrainLoader(train_dicts, cfg, seed=cfg.seed)
+    sample = next(iter(loader))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
+    start_iter = 0
+
+    ckpt = CheckpointManager(cfg.output_dir, cfg.solver.checkpoint_period, cfg.solver.max_iter)
+    if args.resume or args.eval_only:
+        abstract = {"state": jax.device_get(state), "iteration": 0}
+        restored = ckpt.resume_or_load(abstract, resume=True)
+        if restored is not None:
+            state = jax.device_put(restored["state"])
+            start_iter = int(restored["iteration"]) + 1
+            logger.info("resumed from iteration %d", start_iter)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.eval_only:
+        results = do_test(cfg, model, variables, meta)
+        print(results)
+        return
+
+    storage = EventStorage(cfg.output_dir)
+
+    def eval_fn(st, it, storage_):
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        do_test(cfg, model, v, meta, storage_, it)
+
+    attempt = 0
+    while attempt < cfg.max_training_attempts:
+        state, ok = trainer.fit(state, loader, start_iter=start_iter, eval_fn=eval_fn, storage=storage)
+        if ok:
+            break
+        attempt += 1
+        abstract = {"state": jax.device_get(state), "iteration": 0}
+        restored = ckpt.resume_or_load(abstract, resume=True)
+        if restored is not None:
+            state = jax.device_put(restored["state"])
+            start_iter = int(restored["iteration"]) + 1
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    results = do_test(cfg, model, variables, meta)
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

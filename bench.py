@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: Cube R-CNN (DLA34-FPN) batched 3D-detection inference on TPU.
+
+Measures end-to-end jitted forward throughput (backbone -> RPN -> 2D head ->
+cube head -> 3D box assembly) at the reference's test resolution contract
+(shortest edge 512). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md: accuracy only);
+`vs_baseline` is computed against the reference's measured-fresh proxy of
+~10 im/s for single-GPU Cube R-CNN eval at this resolution (the thesis ran
+single A40/V100 jobs; omni3d_evaluation.py logs s/iter — typical DLA34
+inference there is ~0.1 s/im).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMS_PER_S = 10.0
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from threedod.config import Config
+    from threedod.data.batch import Batch
+    from threedod.models import build_model
+
+    cfg = Config()
+    cfg.shapes.canvas_height = 512
+    cfg.shapes.canvas_width = 672
+    cfg.shapes.max_detections = 100
+    cfg.model.roi_heads.num_classes = 38  # SUNRGBD-scale category set
+    cfg.model.backbone = "dla34"
+    cfg.model.dtype = "bfloat16"
+
+    rng = np.random.RandomState(0)
+    K = np.tile(
+        np.array([[[530.0, 0, 336.0], [0, 530.0, 256.0], [0, 0, 1]]], np.float32),
+        (BATCH, 1, 1),
+    )
+    batch = Batch(
+        image=jnp.asarray(rng.randn(BATCH, 512, 672, 3).astype(np.float32)),
+        image_hw=jnp.asarray(np.tile([512, 672], (BATCH, 1)).astype(np.int32)),
+        K=jnp.asarray(K),
+        im_scale_ratio=jnp.full((BATCH,), 730.0 / 512.0),
+        image_id=jnp.zeros((BATCH,), jnp.int32),
+    )
+
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+
+    infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+
+    for _ in range(WARMUP):
+        det = infer(variables, batch)
+        jax.block_until_ready(det.scores)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        det = infer(variables, batch)
+        jax.block_until_ready(det.scores)
+    dt = time.perf_counter() - t0
+
+    ims_per_s = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cubercnn_dla34_infer_512px_bs8",
+                "value": round(ims_per_s, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ims_per_s / BASELINE_IMS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

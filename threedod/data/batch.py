@@ -31,6 +31,9 @@ class GroundTruth:
     boxes3d: jnp.ndarray  # (B, M, 9)
     poses: jnp.ndarray  # (B, M, 3, 3)
     valid: jnp.ndarray  # (B, M) bool
+    # per-instance segmentation masks (SAM outputs in the weak pipeline),
+    # kept at 1/4 canvas resolution: (B, M, H/4, W/4); None when unused
+    masks: Optional[jnp.ndarray] = None
 
     @property
     def num_slots(self):
@@ -80,12 +83,22 @@ def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
                 boxes3d[i, :n] = s["gt_boxes3d"][:n]
                 poses[i, :n] = s["gt_poses"][:n]
                 valid[i, :n] = True
+        masks = None
+        if "gt_masks" in samples[0] and samples[0]["gt_masks"] is not None:
+            hm, wm = samples[0]["gt_masks"].shape[1:]
+            m_arr = np.zeros((b, max_gt, hm, wm), np.float32)
+            for i, s in enumerate(samples):
+                n = min(len(s["gt_masks"]), max_gt)
+                if n:
+                    m_arr[i, :n] = s["gt_masks"][:n]
+            masks = jnp.asarray(m_arr)
         gt = GroundTruth(
             boxes2d=jnp.asarray(boxes2d),
             classes=jnp.asarray(classes),
             boxes3d=jnp.asarray(boxes3d),
             poses=jnp.asarray(poses),
             valid=jnp.asarray(valid),
+            masks=masks,
         )
 
     depth_map = ground_map = None

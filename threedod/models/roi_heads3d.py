@@ -55,6 +55,7 @@ class SampledROIs(NamedTuple):
     matched_gt_boxes: jnp.ndarray  # (B, S, 4)
     gt_boxes3d: jnp.ndarray  # (B, S, 9)
     gt_poses: jnp.ndarray  # (B, S, 3, 3)
+    gt_index: jnp.ndarray  # (B, S) matched GT slot index (for mask lookup)
 
 
 class Detections(NamedTuple):
@@ -154,6 +155,7 @@ class ROIHeads3D(nn.Module):
                 matched_gt_boxes=gtb[midx],
                 gt_boxes3d=gtb3d[midx],
                 gt_poses=gtp[midx],
+                gt_index=midx,
             )
 
         keys = jax.random.split(key, proposals.boxes.shape[0])

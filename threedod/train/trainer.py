@@ -102,12 +102,18 @@ class Trainer:
             loss_ok = jnp.isfinite(total) & (total <= rolling_loss * TOLERANCE)
             diverging = ~(grads_finite & loss_ok)
 
-            # zero the gradient on divergence: the optimizer still steps so
-            # the LR schedule count advances (reference scheduler.step runs
-            # every iteration), but parameters stay put.
-            grads = jax.tree.map(lambda g: jnp.where(diverging, 0.0, g), grads)
+            # on divergence the whole optimizer step is skipped (parameters,
+            # momentum and weight decay all stay put — reference semantics of
+            # not calling optimizer.step()). The LR-schedule count lags by
+            # the number of skipped iterations, which STABILIZE bounds to a
+            # small fraction.
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = jax.tree.map(
+                lambda p, u: jnp.where(diverging, p, p + u), state.params, updates
+            )
+            new_opt = jax.tree.map(
+                lambda old, new: jnp.where(diverging, old, new), state.opt_state, new_opt
+            )
             if freeze_bn:
                 new_bs = state.batch_stats
             else:

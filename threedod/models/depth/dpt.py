@@ -91,11 +91,11 @@ class DPTHead(nn.Module):
             x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype, name=f"project{i}")(x)
             if i == 0:
                 x = nn.ConvTranspose(
-                    self.out_channels[0], (4, 4), strides=(4, 4), dtype=self.dtype, name="resize0"
+                    self.out_channels[0], (4, 4), strides=(4, 4), transpose_kernel=True, dtype=self.dtype, name="resize0"
                 )(x)
             elif i == 1:
                 x = nn.ConvTranspose(
-                    self.out_channels[1], (2, 2), strides=(2, 2), dtype=self.dtype, name="resize1"
+                    self.out_channels[1], (2, 2), strides=(2, 2), transpose_kernel=True, dtype=self.dtype, name="resize1"
                 )(x)
             elif i == 3:
                 x = nn.Conv(

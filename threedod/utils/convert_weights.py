@@ -117,6 +117,84 @@ def convert_depth_anything_v2(state_dict: Dict, encoder: str = "vits") -> Dict:
     }
 
 
+def convert_sam(state_dict: Dict, depth: int = 12) -> Dict:
+    """Official SAM checkpoint (sam_vit_b_01ec64.pth layout) -> flax params
+    for threedod.models.sam.Sam."""
+    sd = state_dict
+    enc = {
+        "patch_embed": conv(sd, "image_encoder.patch_embed.proj"),
+        "pos_embed": _t(sd["image_encoder.pos_embed"]),  # already (1, H, W, C)
+        "neck0": conv(sd, "image_encoder.neck.0"),
+        "neck1": {"weight": _t(sd["image_encoder.neck.1.weight"]), "bias": _t(sd["image_encoder.neck.1.bias"])},
+        "neck2": conv(sd, "image_encoder.neck.2"),
+        "neck3": {"weight": _t(sd["image_encoder.neck.3.weight"]), "bias": _t(sd["image_encoder.neck.3.bias"])},
+    }
+    for i in range(depth):
+        b = f"image_encoder.blocks.{i}"
+        enc[f"block{i}"] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "attn": {
+                "qkv": linear(sd, f"{b}.attn.qkv"),
+                "proj": linear(sd, f"{b}.attn.proj"),
+                "rel_pos_h": _t(sd[f"{b}.attn.rel_pos_h"]),
+                "rel_pos_w": _t(sd[f"{b}.attn.rel_pos_w"]),
+            },
+            "mlp_lin1": linear(sd, f"{b}.mlp.lin1"),
+            "mlp_lin2": linear(sd, f"{b}.mlp.lin2"),
+        }
+
+    prompt = {
+        "pe_gaussian": _t(sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]),
+        "point_embeddings": np.concatenate(
+            [_t(sd[f"prompt_encoder.point_embeddings.{i}.weight"]) for i in range(4)], axis=0
+        ),
+        "not_a_point_embed": _t(sd["prompt_encoder.not_a_point_embed.weight"]),
+        "no_mask_embed": _t(sd["prompt_encoder.no_mask_embed.weight"]),
+    }
+
+    def two_way(prefix):
+        return {
+            "q_proj": linear(sd, f"{prefix}.q_proj"),
+            "k_proj": linear(sd, f"{prefix}.k_proj"),
+            "v_proj": linear(sd, f"{prefix}.v_proj"),
+            "out_proj": linear(sd, f"{prefix}.out_proj"),
+        }
+
+    dec = {
+        "iou_token": _t(sd["mask_decoder.iou_token.weight"]),
+        "mask_tokens": _t(sd["mask_decoder.mask_tokens.weight"]),
+        "final_attn": two_way("mask_decoder.transformer.final_attn_token_to_image"),
+        "norm_final": layernorm(sd, "mask_decoder.transformer.norm_final_attn"),
+        "upscale_conv1": conv_transpose(sd, "mask_decoder.output_upscaling.0"),
+        "upscale_norm": {
+            "weight": _t(sd["mask_decoder.output_upscaling.1.weight"]),
+            "bias": _t(sd["mask_decoder.output_upscaling.1.bias"]),
+        },
+        "upscale_conv2": conv_transpose(sd, "mask_decoder.output_upscaling.3"),
+    }
+    for i in range(2):
+        t = f"mask_decoder.transformer.layers.{i}"
+        dec[f"l{i}_self_attn"] = two_way(f"{t}.self_attn")
+        dec[f"l{i}_cross_t2i"] = two_way(f"{t}.cross_attn_token_to_image")
+        dec[f"l{i}_cross_i2t"] = two_way(f"{t}.cross_attn_image_to_token")
+        dec[f"l{i}_norm1"] = layernorm(sd, f"{t}.norm1")
+        dec[f"l{i}_norm2"] = layernorm(sd, f"{t}.norm2")
+        dec[f"l{i}_norm3"] = layernorm(sd, f"{t}.norm3")
+        dec[f"l{i}_norm4"] = layernorm(sd, f"{t}.norm4")
+        dec[f"l{i}_mlp1"] = linear(sd, f"{t}.mlp.lin1")
+        dec[f"l{i}_mlp2"] = linear(sd, f"{t}.mlp.lin2")
+    for i in range(4):
+        h = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        dec[f"hyper{i}_0"] = linear(sd, f"{h}.layers.0")
+        dec[f"hyper{i}_1"] = linear(sd, f"{h}.layers.1")
+        dec[f"hyper{i}_2"] = linear(sd, f"{h}.layers.2")
+    for i in range(3):
+        dec[f"iou_mlp_{i}"] = linear(sd, f"mask_decoder.iou_prediction_head.layers.{i}")
+
+    return {"image_encoder": enc, "prompt_encoder": prompt, "mask_decoder": dec}
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """Load a .pth state dict to numpy without needing CUDA."""
     import torch

@@ -28,3 +28,21 @@ parallel     mesh/sharding helpers
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: detection graphs at full canvas take
+# minutes to compile (especially through a remote TPU relay); cache them
+# across processes. Harmless no-op if the config key ever disappears.
+import os as _os
+
+try:
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

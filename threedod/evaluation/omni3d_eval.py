@@ -30,11 +30,25 @@ logger = logging.getLogger(__name__)
 # safeguard mirroring the reference MAX_DTS_CROSS_GTS_FOR_IOU3D
 MAX_PAIRS_DEVICE_IOU3D = 2_000_000
 
+# native eval core (C++, native/evalc.cpp) — role parity with pycocotools'
+# C extensions; built by `python native/setup.py`, optional at runtime.
+try:
+    from . import _evalc  # type: ignore
+
+    HAS_NATIVE_EVAL = True
+except ImportError:  # pragma: no cover - depends on local build
+    _evalc = None
+    HAS_NATIVE_EVAL = False
+
 
 def iou_2d_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd=None) -> np.ndarray:
     """maskUtils.iou parity for XYWH boxes: (D, 4) x (G, 4) -> (D, G)."""
     if len(dts) == 0 or len(gts) == 0:
         return np.zeros((len(dts), len(gts)))
+    if _evalc is not None and iscrowd is None:
+        return _evalc.iou2d(
+            np.ascontiguousarray(dts, np.float64), np.ascontiguousarray(gts, np.float64)
+        )
     d = np.asarray(dts, np.float64)
     g = np.asarray(gts, np.float64)
     if iscrowd is None:
@@ -203,26 +217,40 @@ class Omni3DEval:
         dtIg = np.zeros((T, D))
 
         if len(ious) != 0:
-            for tind, t in enumerate(p.iouThrs):
-                for dind, d in enumerate(dt):
-                    iou = min(t, 1 - 1e-10)
-                    m = -1
-                    for gind in range(G):
-                        if self.eval_prox and not in_prox[dind, gind]:
+            if _evalc is not None:
+                prox_arg = (
+                    np.ascontiguousarray(in_prox, np.uint8) if self.eval_prox else None
+                )
+                dtm, gtm, dtIg8 = _evalc.greedy_match(
+                    np.ascontiguousarray(ious, np.float64),
+                    np.ascontiguousarray(p.iouThrs, np.float64),
+                    np.ascontiguousarray(gtIg, np.int64),
+                    prox_arg,
+                    np.ascontiguousarray([g["id"] for g in gt], np.int64),
+                    np.ascontiguousarray([d["id"] for d in dt], np.int64),
+                )
+                dtIg = dtIg8.astype(np.float64)
+            else:
+                for tind, t in enumerate(p.iouThrs):
+                    for dind, d in enumerate(dt):
+                        iou = min(t, 1 - 1e-10)
+                        m = -1
+                        for gind in range(G):
+                            if self.eval_prox and not in_prox[dind, gind]:
+                                continue
+                            if gtm[tind, gind] > 0:
+                                continue
+                            if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
+                                break
+                            if ious[dind, gind] < iou:
+                                continue
+                            iou = ious[dind, gind]
+                            m = gind
+                        if m == -1:
                             continue
-                        if gtm[tind, gind] > 0:
-                            continue
-                        if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
-                            break
-                        if ious[dind, gind] < iou:
-                            continue
-                        iou = ious[dind, gind]
-                        m = gind
-                    if m == -1:
-                        continue
-                    dtIg[tind, dind] = gtIg[m]
-                    dtm[tind, dind] = gt[m]["id"]
-                    gtm[tind, m] = d["id"]
+                        dtIg[tind, dind] = gtIg[m]
+                        dtm[tind, dind] = gt[m]["id"]
+                        gtm[tind, m] = d["id"]
 
         a = np.array(
             [d[flag_range] < aRng[0] or d[flag_range] > aRng[1] for d in dt]

@@ -1,0 +1,42 @@
+"""Model-zoo path handling.
+
+Parity target: cubercnn/util/model_zoo.py:6-26 (`CubeRCNNHandler`): resolves
+`cubercnn://` paths to the public fbaipublicfiles checkpoint URLs. This
+environment has zero egress, so resolution maps to a local cache directory
+(`$THREEDOD_ZOO_DIR`, default `datasets/zoo/`); the URL table is kept so a
+user with network access can fetch the same files, and torch checkpoints
+placed there convert through utils.convert_weights.
+"""
+from __future__ import annotations
+
+import os
+
+PREFIX = "cubercnn://"
+BASE_URL = "https://dl.fbaipublicfiles.com/cubercnn"
+
+ZOO = {
+    "omni3d/cubercnn_DLA34_FPN.pth": f"{BASE_URL}/omni3d/cubercnn_DLA34_FPN.pth",
+    "omni3d/cubercnn_Res34_FPN.pth": f"{BASE_URL}/omni3d/cubercnn_Res34_FPN.pth",
+    "omni3d_in/cubercnn_DLA34_FPN.pth": f"{BASE_URL}/omni3d_in/cubercnn_DLA34_FPN.pth",
+    "omni3d_out/cubercnn_DLA34_FPN.pth": f"{BASE_URL}/omni3d_out/cubercnn_DLA34_FPN.pth",
+}
+
+
+def zoo_dir() -> str:
+    return os.environ.get("THREEDOD_ZOO_DIR", os.path.join("datasets", "zoo"))
+
+
+def resolve(path: str) -> str:
+    """cubercnn://name -> local cached file path (raises if absent)."""
+    if not path.startswith(PREFIX):
+        return path
+    rel = path[len(PREFIX):]
+    local = os.path.join(zoo_dir(), rel)
+    if not os.path.exists(local):
+        url = ZOO.get(rel, f"{BASE_URL}/{rel}")
+        raise FileNotFoundError(
+            f"zoo checkpoint '{rel}' not cached at {local}. This environment "
+            f"has no network egress; download {url} elsewhere and place it "
+            f"there, then convert with threedod.utils.convert_weights."
+        )
+    return local

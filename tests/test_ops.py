@@ -8,6 +8,7 @@ from threedod.ops import (
     batched_nms,
     match_candidates,
     multilevel_roi_align,
+    multilevel_roi_align_dense,
     nms_mask,
     roi_align,
     subsample_fg_bg,
@@ -45,6 +46,19 @@ class TestRoiAlign:
         )
         lv = np.asarray(assign_fpn_levels(boxes))
         assert lv.tolist() == [2, 4, 5, 6]
+
+    def test_packed_equals_dense(self):
+        rng = np.random.RandomState(0)
+        feats = {
+            f"p{i + 2}": jnp.asarray(rng.randn(64 >> i, 80 >> i, 16).astype(np.float32))
+            for i in range(5)
+        }
+        xy = rng.uniform(0, 150, (40, 2))
+        wh = rng.uniform(10, 300, (40, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+        a = multilevel_roi_align(feats, boxes)
+        b = multilevel_roi_align_dense(feats, boxes)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
     def test_multilevel(self):
         feats = {

@@ -193,7 +193,12 @@ class RPN:
             "rpn/num_pos_anchors": jnp.sum(fg) / b,
             "rpn/num_neg_anchors": jnp.sum(labels == 0) / b,
         }
-        proposals = self.predict_proposals(logits, regs, image_hw, train=train)
+        # proposals are training CONSTANTS for the ROI heads (detectron2
+        # semantics) — cutting the gradient here also keeps the NMS/topk
+        # machinery out of the backward graph entirely.
+        proposals = jax.lax.stop_gradient(
+            self.predict_proposals(logits, regs, image_hw, train=train)
+        )
         return proposals, losses, metrics
 
     # ---------------- proposal selection ---------------------------------

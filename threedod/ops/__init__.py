@@ -14,4 +14,9 @@ from .matcher import (
     weighted_topk_sample,
 )
 from .nms import batched_nms, nms_mask, topk_by_mask
-from .roi_align import assign_fpn_levels, multilevel_roi_align, roi_align
+from .roi_align import (
+    assign_fpn_levels,
+    multilevel_roi_align,
+    multilevel_roi_align_dense,
+    roi_align,
+)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def roi_align(
@@ -102,17 +103,17 @@ def assign_fpn_levels(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
-def multilevel_roi_align(
+def multilevel_roi_align_dense(
     features: dict,
     boxes: jnp.ndarray,
     output_size: int = 7,
     strides: dict | None = None,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """FPN ROIAlign: pool from each level, select by assignment.
+    """FPN ROIAlign, reference implementation: pool from EVERY level, select.
 
-    features: {'p2': (H2, W2, C), ...}; boxes: (N, 4) image coords.
-    Returns (N, S, S, C).
+    Simple but does 5x the gather work; kept as the correctness oracle for
+    the packed version below.
     """
     if strides is None:
         strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
@@ -132,3 +133,78 @@ def multilevel_roi_align(
         )
         pooled = pooled + p * (assign == lvl)[:, None, None, None]
     return pooled
+
+
+def multilevel_roi_align(
+    features: dict,
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    strides: dict | None = None,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """FPN ROIAlign via a single packed gather (TPU fast path).
+
+    All pyramid levels are flattened into one (sum HW, C) buffer; each ROI
+    computes its sample coordinates in its *assigned* level's geometry and
+    gathers with flat indices — one gather pass instead of pooling every
+    level and selecting (5x less HBM traffic than the dense variant, which
+    is what replaces the reference's per-level CUDA pooler loop).
+    """
+    if strides is None:
+        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+    names = sorted(features.keys())
+    level_ids = [int(n[1:]) for n in names]
+    c = features[names[0]].shape[-1]
+
+    flat = jnp.concatenate([features[n].reshape(-1, c) for n in names], axis=0)
+    hs = np.asarray([features[n].shape[0] for n in names])
+    ws = np.asarray([features[n].shape[1] for n in names])
+    offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
+    strides_arr = np.asarray([strides[n] for n in names], np.float32)
+
+    assign = assign_fpn_levels(boxes, min(level_ids), max(level_ids)) - min(level_ids)
+    lvl_h = jnp.asarray(hs)[assign]  # (N,)
+    lvl_w = jnp.asarray(ws)[assign]
+    lvl_off = jnp.asarray(offsets)[assign]
+    lvl_scale = 1.0 / jnp.asarray(strides_arr)[assign]
+
+    s, r = output_size, sampling_ratio
+    b = boxes * lvl_scale[:, None] - 0.5
+    x1, y1 = b[:, 0], b[:, 1]
+    bw = jnp.maximum(b[:, 2] - x1, 1e-6)
+    bh = jnp.maximum(b[:, 3] - y1, 1e-6)
+    grid = (jnp.arange(s * r) + 0.5) / r
+    sx = x1[:, None] + grid[None, :] * (bw / s)[:, None]  # (N, sr)
+    sy = y1[:, None] + grid[None, :] * (bh / s)[:, None]
+
+    Y = sy[:, :, None]  # (N, sr, 1)
+    X = sx[:, None, :]  # (N, 1, sr)
+    y0f = jnp.floor(Y)
+    x0f = jnp.floor(X)
+    dy = (Y - y0f)[..., None]
+    dx = (X - x0f)[..., None]
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    h_lim = lvl_h[:, None, None]
+    w_lim = lvl_w[:, None, None]
+    off = lvl_off[:, None, None]
+
+    def gather(yi, xi):
+        yi, xi = jnp.broadcast_arrays(yi, xi)
+        valid = (yi >= 0) & (yi <= h_lim - 1) & (xi >= 0) & (xi <= w_lim - 1)
+        idx = off + jnp.clip(yi, 0, h_lim - 1) * w_lim + jnp.clip(xi, 0, w_lim - 1)
+        return flat[idx] * valid[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    samples = (
+        v00 * (1 - dy) * (1 - dx)
+        + v01 * (1 - dy) * dx
+        + v10 * dy * (1 - dx)
+        + v11 * dy * dx
+    )  # (N, sr, sr, C)
+    n = boxes.shape[0]
+    return samples.reshape(n, s, r, s, r, c).mean(axis=(2, 4))

@@ -56,11 +56,10 @@ def main():
     )
 
     model = build_model(cfg)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        batch,
-        train=False,
-    )
+    init_fn = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, b, train=False
+    ))
+    variables = init_fn(batch)
 
     infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
 

@@ -58,9 +58,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, key, sample_batch) -> TrainState:
-        variables = self.model.init(
-            {"params": key, "sampling": jax.random.fold_in(key, 1)}, sample_batch, train=True
-        )
+        # jit the init: unjitted flax init dispatches thousands of eager ops
+        # (catastrophic over a remote-TPU relay, and slower everywhere).
+        init_fn = jax.jit(lambda k, b: self.model.init(
+            {"params": k, "sampling": jax.random.fold_in(k, 1)}, b, train=True
+        ))
+        variables = init_fn(key, sample_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.optimizer, self.schedule = build_optimizer(self.cfg, params)

@@ -70,9 +70,9 @@ def main():
         return collate([s], cfg.shapes.max_gt)
 
     batch0 = make_batch(paths[0])
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, batch0, train=False
-    )
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, b, train=False
+    ))(batch0)
     if args.checkpoint:
         ckpt = CheckpointManager(os.path.dirname(args.checkpoint) or ".", 1, 1)
         state = {"state": None, "iteration": 0}

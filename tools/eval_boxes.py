@@ -45,10 +45,10 @@ def run_proposal_eval(cfg, meta, priors, mode: str, proposal_function: str, use_
     loader = TestLoader(sample_records, cfg, batch_size=1, load_maps=True)
 
     batch0, _ = next(iter(loader))
-    variables = model.init(
+    variables = jax.jit(lambda b: model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        batch0, proposal_function=proposal_function, use_pred_boxes=use_pred_boxes,
-    )
+        b, proposal_function=proposal_function, use_pred_boxes=use_pred_boxes,
+    ))(batch0)
 
     @jax.jit
     def run(batch, key):
@@ -121,10 +121,10 @@ def generate_pseudo_gt(cfg, meta, priors, proposal_function: str, out_name: str)
     records = get_dataset_dicts(cfg.datasets.train)
     loader = TestLoader(records, cfg, batch_size=1, load_maps=True)
     batch0, _ = next(iter(loader))
-    variables = model.init(
+    variables = jax.jit(lambda b: model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        batch0, proposal_function=proposal_function,
-    )
+        b, proposal_function=proposal_function,
+    ))(batch0)
 
     @jax.jit
     def run(batch, key):

@@ -32,7 +32,7 @@ from flax import struct
 from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from .checkpoint import CheckpointManager
 from .events import EventStorage
-from .solver import build_optimizer
+from .solver import build_optimizer, host_lr
 
 logger = logging.getLogger(__name__)
 
@@ -161,7 +161,12 @@ class Trainer:
             key, step_key = jax.random.split(key)
             rolling = np.inf if recent_loss is None else recent_loss
             state, total, losses, metrics, diverging = self._train_step(
-                state, batch, step_key, jnp.asarray(rolling, jnp.float32)
+                state, batch, step_key, np.float32(rolling)
+            )
+            # ONE device->host transfer for all scalars (each individual
+            # float() would be a separate round-trip — ruinous over a relay)
+            total, losses, metrics, diverging = jax.device_get(
+                (total, losses, metrics, diverging)
             )
             total = float(total)
             diverging = bool(diverging) and cfg.model.stabilize > 0
@@ -179,7 +184,7 @@ class Trainer:
                 iterations_success += 1
 
             storage.iter = iteration
-            scalars = {"total_loss": total, "lr": float(self.schedule(iteration))}
+            scalars = {"total_loss": total, "lr": host_lr(self.cfg.solver, iteration)}
             scalars.update({k: float(v) for k, v in losses.items()})
             scalars.update({k: float(v) for k, v in metrics.items()})
             storage.put_scalars(**scalars)
@@ -209,12 +214,16 @@ class Trainer:
             if (iteration + 1) % storage.window == 0 or iteration == max_iter - 1:
                 storage.flush(max_iter)
 
-            # suppress checkpoints while potentially diverging
+            # suppress checkpoints while potentially diverging. The state is
+            # only pulled to host when a checkpoint is actually due — a
+            # device_get of the full train state every iteration would move
+            # hundreds of MB per step.
             if not diverging and (
                 iterations_explode / max(total_iters, 1) < 0.5 * cfg.model.stabilize
                 or cfg.model.stabilize <= 0
             ):
-                ckpt.step(iteration, {"state": jax.device_get(state), "iteration": iteration})
+                if (iteration + 1) % ckpt.period == 0 or iteration >= max_iter - 1:
+                    ckpt.step(iteration, {"state": jax.device_get(state), "iteration": iteration})
 
             iteration += 1
 

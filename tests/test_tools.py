@@ -1,0 +1,138 @@
+"""Integration tests for the CLI drivers (train_net setup/do_test path,
+eval_boxes MABO + pseudo-GT) on tiny synth data, CPU platform."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def write_tiny_cfg(path, root, outdir, extra=""):
+    path.write_text(
+        f"""
+model:
+  meta_architecture: RCNN3D
+  backbone: shufflenet
+  dtype: float32
+  rpn:
+    pre_nms_topk_train: 128
+    pre_nms_topk_test: 128
+    post_nms_topk_train: 64
+    post_nms_topk_test: 64
+    batch_size_per_image: 64
+  roi_heads:
+    num_classes: 10
+    batch_size_per_image: 64
+  roi_cube_head:
+    number_of_proposals: 64
+solver:
+  ims_per_batch: 2
+  max_iter: 2
+  checkpoint_period: 100
+  warmup_iters: 1
+input:
+  min_size_train: [96]
+  min_size_test: 96
+shapes:
+  canvas_height: 96
+  canvas_width: 128
+  max_gt: 8
+  roi_batch: 32
+  nms_candidates: 64
+  max_detections: 8
+  ransac_hypotheses: 100
+datasets:
+  train: [synth_train]
+  test: [synth_test]
+test:
+  eval_period: 0
+output_dir: {outdir}
+{extra}
+"""
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    from threedod.data import generate_synth_dataset
+
+    generate_synth_dataset(root=str(root), splits=(("train", 4), ("test", 2)), write_maps=True)
+    return root
+
+
+def run_tool(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    # the sitecustomize pins axon; strip it for subprocess CPU runs
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        f"import sys, runpy; sys.argv={args!r}; "
+        f"runpy.run_path({args[0]!r}, run_name='__main__')"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=1800,
+    )
+
+
+class TestTrainNetCLI:
+    def test_train_and_eval(self, tiny_env, tmp_path):
+        cfg = tmp_path / "tiny.yaml"
+        outdir = tmp_path / "out"
+        write_tiny_cfg(cfg, tiny_env, outdir)
+        r = run_tool(
+            [os.path.join(REPO, "tools/train_net.py"), "--config-file", str(cfg),
+             "datasets.root", str(tiny_env)],
+            cwd=str(tiny_env),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "AP2D" in r.stdout or "AP2D" in r.stderr
+        assert (outdir / "metrics.json").exists()
+
+
+class TestEvalBoxesCLI:
+    def test_mabo(self, tiny_env, tmp_path):
+        cfg = tmp_path / "tiny_boxnet.yaml"
+        outdir = tmp_path / "out_boxnet"
+        write_tiny_cfg(cfg, tiny_env, outdir, extra="plot:\n  eval: MABO\n  proposal_func: propose\n")
+        cfg.write_text(cfg.read_text().replace("meta_architecture: RCNN3D", "meta_architecture: BoxNet"))
+        r = run_tool(
+            [os.path.join(REPO, "tools/eval_boxes.py"), "--config-file", str(cfg),
+             "datasets.root", str(tiny_env)],
+            cwd=str(tiny_env),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        out = r.stdout[r.stdout.index("{"):]
+        res = json.loads(out)
+        assert "MABO_combined" in res
+        assert len(res["combinations_mean"]) == 26
+        # best-possible curve value must be >= the first-pick value
+        assert res["ABO_best_possible_combined"] >= res["MABO_combined"] - 1e-9
+
+    def test_pseudo_gt_generation(self, tiny_env, tmp_path):
+        cfg = tmp_path / "tiny_pgt.yaml"
+        outdir = tmp_path / "out_pgt"
+        write_tiny_cfg(cfg, tiny_env, outdir, extra="train:\n  pseudo_gt: pseudo\nplot:\n  proposal_func: propose\n")
+        cfg.write_text(cfg.read_text().replace("meta_architecture: RCNN3D", "meta_architecture: BoxNet"))
+        r = run_tool(
+            [os.path.join(REPO, "tools/eval_boxes.py"), "--config-file", str(cfg),
+             "--pseudo-gt-out", "synth_pseudo", "datasets.root", str(tiny_env)],
+            cwd=str(tiny_env),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        out_json = os.path.join(str(tiny_env), "Omni3D", "synth_pseudo.json")
+        assert os.path.exists(out_json)
+        with open(out_json) as f:
+            data = json.load(f)
+        assert len(data["annotations"]) > 0
+        a = data["annotations"][0]
+        for key in ("center_cam", "dimensions", "R_cam", "bbox3D_cam", "score"):
+            assert key in a

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -83,13 +84,14 @@ class TrainLoader:
             weights = weights * balance_dataset_factors(dataset_dicts)
         self.probs = weights / weights.sum()
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._pool = ThreadPoolExecutor(max_workers=4)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         while True:
             idx = self.rng.choice(len(self.dicts), size=self.batch_size, p=self.probs)
-            samples = [self.mapper(self.dicts[i]) for i in idx]
+            samples = list(self._pool.map(lambda i: self.mapper(self.dicts[i]), idx))
             self._queue.put(collate(samples, self.max_gt, with_maps=self.load_maps))
 
     def __iter__(self) -> Iterator[Batch]:

@@ -1,4 +1,5 @@
 from .inference import (
+    gather_predictions,
     Omni3DEvaluationHelper,
     detections_to_coco_json,
     gts_from_records,

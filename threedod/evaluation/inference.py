@@ -21,6 +21,35 @@ from .omni3d_eval import Omni3DEval
 
 logger = logging.getLogger(__name__)
 
+
+def gather_predictions(predictions: List[dict]) -> List[dict]:
+    """Multi-host gather of prediction records to every host.
+
+    Parity: the reference's comm.gather(inference_json, dst=0)
+    (omni3d_evaluation.py:636-641). Single-process: identity. Multi-host:
+    all-gather of the JSON payload through a tiny device buffer
+    (jax.experimental.multihost_utils).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return predictions
+    import json as _json
+
+    import numpy as _np
+    from jax.experimental import multihost_utils
+
+    payload = _np.frombuffer(_json.dumps(predictions).encode(), dtype=_np.uint8)
+    sizes = multihost_utils.process_allgather(_np.asarray([payload.size]))
+    maxlen = int(sizes.max())
+    padded = _np.zeros((maxlen,), _np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    out: List[dict] = []
+    for row, n in zip(_np.asarray(gathered).reshape(jax.process_count(), maxlen), sizes.ravel()):
+        out.extend(_json.loads(bytes(row[: int(n)]).decode()))
+    return out
+
 # datasets annotated non-exhaustively -> proximity evaluation
 # (reference omni3d_evaluation.py:675 & dataset docs)
 PROX_DATASETS = {"Objectron", "nuScenes"}

@@ -17,7 +17,7 @@ logger = logging.getLogger(__name__)
 
 
 class EventStorage:
-    def __init__(self, output_dir: str, window: int = 20):
+    def __init__(self, output_dir: str, window: int = 20, use_wandb: bool = False, project: str = "threedod"):
         self.output_dir = output_dir
         self.window = window
         self.iter = 0
@@ -27,6 +27,17 @@ class EventStorage:
         self._jsonl = open(os.path.join(output_dir, "metrics.json"), "a")
         self._t_start = time.time()
         self._t_last_flush = self._t_start
+        # optional wandb mirroring (reference train_net.py:33,376-379 behind
+        # cfg.log); silently disabled when the package is absent.
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=project, dir=output_dir)
+                self._wandb = wandb
+            except Exception:
+                logger.warning("wandb requested but unavailable; logging to JSONL only")
 
     def put_scalars(self, **kwargs):
         for k, v in kwargs.items():
@@ -43,6 +54,8 @@ class EventStorage:
         record.update({k: self.median(k) for k in sorted(self._history)})
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(record, step=self.iter)
 
         now = time.time()
         it_s = self.window / max(now - self._t_last_flush, 1e-6)

@@ -133,7 +133,7 @@ def main():
         print(results)
         return
 
-    storage = EventStorage(cfg.output_dir)
+    storage = EventStorage(cfg.output_dir, use_wandb=cfg.log)
 
     def eval_fn(st, it, storage_):
         v = {"params": st.params, "batch_stats": st.batch_stats}

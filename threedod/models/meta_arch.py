@@ -35,7 +35,7 @@ class RCNN3D(nn.Module):
         self.rpn_head = RPNHead(num_anchors=num_anchors, dtype=dtype)
         self.roi_heads = ROIHeads3D(cfg=c, priors=self.priors)
 
-    def __call__(self, batch: Batch, train: bool = False):
+    def __call__(self, batch: Batch, train: bool = False, oracle: bool = False):
         c = self.cfg
         feats = self.backbone(batch.image, train=train)
         feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
@@ -70,7 +70,8 @@ class RCNN3D(nn.Module):
 
         proposals = rpn.predict_proposals(logits, regs, batch.image_hw, train=False)
         det, _ = self.roi_heads(
-            roi_feats, proposals, batch.K, batch.im_scale_ratio, batch.image_hw, train=False
+            roi_feats, proposals, batch.K, batch.im_scale_ratio, batch.image_hw,
+            gt=batch.gt if oracle else None, train=False,
         )
         # rescale 2D boxes to original image resolution (GeneralizedRCNN
         # _postprocess parity, rcnn3d.py:122)

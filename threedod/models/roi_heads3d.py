@@ -509,11 +509,36 @@ class ROIHeads3D(nn.Module):
             return losses, metrics
 
         # ------------------------- inference ---------------------------
-        det = self.box_branch_inference(features, proposals, image_hw)
+        if gt is not None and not train:
+            # oracle 2D boxes: bypass the 2D box head entirely and run the
+            # cube head on ground-truth boxes (reference rcnn3d.py:111-113)
+            det = self.oracle_detections(gt)
+        else:
+            det = self.box_branch_inference(features, proposals, image_hw)
         if ch.loss_w_3d > 0:
             out = self.cube_forward(features, det.boxes, det.classes, Ks_scaled, v2r)
             det = self.assemble_detections(det, out, im_scale_ratio)
         return det, {}
+
+    def oracle_detections(self, gt) -> Detections:
+        boxes = gt.boxes2d
+        classes = jnp.maximum(gt.classes, 0)
+        valid = gt.valid & (gt.classes >= 0)
+        b, m = classes.shape
+        ones = jnp.where(valid, 1.0, 0.0)
+        zeros3 = jnp.zeros((b, m, 3))
+        return Detections(
+            boxes=boxes,
+            scores=ones,
+            scores_2d=ones,
+            classes=classes,
+            valid=valid,
+            center_cam=zeros3,
+            dimensions=zeros3,
+            pose=jnp.broadcast_to(jnp.eye(3), (b, m, 3, 3)),
+            center_2d=jnp.zeros((b, m, 2)),
+            corners3d=jnp.zeros((b, m, 8, 3)),
+        )
 
     def box_branch_inference(self, features, proposals: Proposals, image_hw) -> Detections:
         c = self.cfg

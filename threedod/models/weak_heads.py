@@ -399,7 +399,7 @@ class ROIHeads3DScore(ROIHeads3D):
         }
         if ch.loss_w_3d > 0:
             F = int(c.shapes.roi_batch * c.model.roi_heads.positive_fraction)
-            prefix = SampledPrefix = jax.tree.map(lambda x: x[:, :F], sampled)
+            prefix = jax.tree.map(lambda x: x[:, :F], sampled)
             out = self.cube_forward(
                 features, prefix.boxes, prefix.classes, Ks_scaled, v2r
             )

@@ -6,6 +6,12 @@ cube head -> 3D box assembly) at the reference's test resolution contract
 (shortest edge 512). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
+Timing methodology (important on a remote-relay TPU): block_until_ready on
+this platform does NOT reliably wait for completion, so each measurement
+chains a scalar reduction of every iteration's output and forces it to host
+with device_get; constant dispatch/transfer overhead is cancelled by timing
+two iteration counts and using the difference.
+
 The reference publishes no throughput numbers (BASELINE.md: accuracy only);
 `vs_baseline` is computed against the reference's measured-fresh proxy of
 ~10 im/s for single-GPU Cube R-CNN eval at this resolution (the thesis ran
@@ -25,8 +31,8 @@ import numpy as np
 
 BASELINE_IMS_PER_S = 10.0
 BATCH = 8
-WARMUP = 3
-ITERS = 20
+ITERS_SHORT = 5
+ITERS_LONG = 25
 
 
 def main():
@@ -63,17 +69,23 @@ def main():
 
     infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
 
-    for _ in range(WARMUP):
-        det = infer(variables, batch)
-        jax.block_until_ready(det.scores)
+    def run(k):
+        """k inference dispatches, all forced to completion by one scalar
+        fetch that depends on every iteration's output."""
+        t0 = time.perf_counter()
+        s = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            det = infer(variables, batch)
+            s = s + det.scores.sum().astype(jnp.float32)
+        jax.device_get(s)
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        det = infer(variables, batch)
-        jax.block_until_ready(det.scores)
-    dt = time.perf_counter() - t0
+    run(2)  # warmup / compile
+    d_short = run(ITERS_SHORT)
+    d_long = run(ITERS_LONG)
+    t_iter = (d_long - d_short) / (ITERS_LONG - ITERS_SHORT)
 
-    ims_per_s = BATCH * ITERS / dt
+    ims_per_s = BATCH / t_iter
     print(
         json.dumps(
             {

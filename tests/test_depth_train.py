@@ -1,0 +1,188 @@
+"""Depth fine-tuning trainer (threedod/train/depth.py).
+
+Parity targets: depth/metric_depth/train.py, util/loss.py (SiLogLoss),
+util/metric.py (eval_depth). The loss/metric tests check the masked jnp
+implementations against direct boolean-index numpy math (exactly what the
+torch reference computes).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from threedod.train.depth import (
+    DepthTrainer,
+    build_depth_optimizer,
+    eval_depth,
+    host_poly_lr,
+    poly_schedule,
+    silog_loss,
+)
+
+
+def _np_silog(pred, target, mask, lambd=0.5):
+    d = np.log(target[mask]) - np.log(pred[mask])
+    return np.sqrt((d**2).mean() - lambd * d.mean() ** 2)
+
+
+class TestSiLog:
+    def test_matches_boolean_index_math(self):
+        rng = np.random.RandomState(0)
+        pred = rng.uniform(0.5, 10, (4, 16, 16)).astype(np.float32)
+        target = rng.uniform(0.5, 10, (4, 16, 16)).astype(np.float32)
+        mask = rng.rand(4, 16, 16) > 0.3
+        got = float(silog_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask)))
+        want = _np_silog(pred, target, mask)
+        assert abs(got - want) < 1e-5
+
+    def test_invalid_pixels_ignored(self):
+        pred = np.ones((2, 8, 8), np.float32)
+        target = np.ones((2, 8, 8), np.float32)
+        target[:, :4] = 1e9  # huge error, but masked out
+        mask = np.zeros((2, 8, 8), bool)
+        mask[:, 4:] = True
+        got = float(silog_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask)))
+        assert got < 1e-4
+
+
+class TestEvalDepth:
+    def test_matches_reference_metric_math(self):
+        rng = np.random.RandomState(1)
+        pred = rng.uniform(0.5, 10, (24, 24)).astype(np.float32)
+        target = rng.uniform(0.5, 10, (24, 24)).astype(np.float32)
+        mask = rng.rand(24, 24) > 0.4
+
+        got = {k: float(v) for k, v in eval_depth(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask)).items()}
+
+        p, t = pred[mask], target[mask]
+        thresh = np.maximum(t / p, p / t)
+        diff, diff_log = p - t, np.log(p) - np.log(t)
+        want = {
+            "d1": (thresh < 1.25).mean(),
+            "d2": (thresh < 1.25**2).mean(),
+            "d3": (thresh < 1.25**3).mean(),
+            "abs_rel": (np.abs(diff) / t).mean(),
+            "sq_rel": (diff**2 / t).mean(),
+            "rmse": np.sqrt((diff**2).mean()),
+            "rmse_log": np.sqrt((diff_log**2).mean()),
+            "log10": np.abs(np.log10(p) - np.log10(t)).mean(),
+            "silog": np.sqrt((diff_log**2).mean() - 0.5 * diff_log.mean() ** 2),
+        }
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-4, k
+
+
+class TestPolyLR:
+    def test_schedule_values(self):
+        # train.py:148 — lr = base * (1 - it/total)**0.9
+        sched = poly_schedule(1e-3, 100)
+        assert abs(float(sched(0)) - 1e-3) < 1e-9
+        assert abs(float(sched(50)) - 1e-3 * 0.5**0.9) < 1e-9
+        assert float(sched(100)) == 0.0
+        assert abs(host_poly_lr(1e-3, 100, 50) - 1e-3 * 0.5**0.9) < 1e-10
+
+    def test_head_lr_is_10x_encoder(self):
+        # train.py:103-105 — 'pretrained' params at lr, rest at 10*lr
+        params = {
+            "pretrained": {"w": jnp.ones((4, 4))},
+            "depth_head": {"w": jnp.ones((4, 4))},
+        }
+        tx = build_depth_optimizer(params, base_lr=1e-3, total_iters=10**9)
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        enc = float(jnp.abs(updates["pretrained"]["w"]).mean())
+        head = float(jnp.abs(updates["depth_head"]["w"]).mean())
+        # adamw first step: update ~= -lr * (1 + wd) per param
+        assert abs(head / enc - 10.0) < 1e-3
+
+
+import flax.linen as nn
+
+
+class _TinyDepthNet(nn.Module):
+    """Minimal stand-in with the DA-V2 param layout ('pretrained' + head)."""
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(8, (3, 3), padding="SAME", name="pretrained")(x)
+        h = nn.relu(h)
+        d = nn.Conv(1, (1, 1), name="depth_head")(h)
+        return jax.nn.softplus(d[..., 0]) + 0.05
+
+
+class TestDepthTrainerLoop:
+    def test_two_steps_reduce_loss_and_eval_runs(self, tmp_path):
+        model = _TinyDepthNet()
+        trainer = DepthTrainer(model, base_lr=3e-3, total_iters=1000, max_depth=20.0)
+        rng = np.random.RandomState(0)
+        b, s = 8, 16
+        img = rng.randn(b, s, s, 3).astype(np.float32)
+        depth = np.tile(np.linspace(1, 5, s, dtype=np.float32)[None, :, None], (b, 1, s))
+        mask = np.ones((b, s, s), bool)
+
+        state = trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(img))
+        step = trainer.make_train_step()
+        trainer._train_step = step
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(12):
+            key, k = jax.random.split(key)
+            state, loss = step(state, jnp.asarray(img), jnp.asarray(depth),
+                               jnp.asarray(mask), k)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+        class Loader:
+            def __iter__(self):
+                yield {"image": img, "depth": depth, "valid_mask": mask}
+
+            def __len__(self):
+                return 1
+
+        res = trainer.evaluate(state.params, Loader())
+        assert set(res) == {"d1", "d2", "d3", "abs_rel", "sq_rel", "rmse",
+                            "rmse_log", "log10", "silog"}
+        assert all(np.isfinite(v) for v in res.values())
+
+    def test_fit_epoch_loop_checkpoints(self, tmp_path):
+        model = _TinyDepthNet()
+        trainer = DepthTrainer(model, base_lr=1e-3, total_iters=10, max_depth=20.0)
+        rng = np.random.RandomState(0)
+        b, s = 8, 16
+        img = rng.randn(b, s, s, 3).astype(np.float32)
+        depth = np.full((b, s, s), 2.0, np.float32)
+        mask = np.ones((b, s, s), bool)
+
+        class Loader:
+            def __iter__(self):
+                for _ in range(2):
+                    yield {"image": img, "depth": depth, "valid_mask": mask}
+
+            def __len__(self):
+                return 2
+
+        state = trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(img))
+        state, best = trainer.fit(state, Loader(), epochs=2, val_loader=Loader(),
+                                  save_path=str(tmp_path / "ckpt"))
+        assert (tmp_path / "ckpt" / "latest").exists()
+        assert 0.0 <= best["d1"] <= 1.0
+
+
+class TestTrainDepthCLI:
+    def test_synthetic_smoke(self, tmp_path):
+        import subprocess
+        import sys
+
+        out = tmp_path / "run"
+        r = subprocess.run(
+            [sys.executable, "tools/train_depth.py", "--synthetic",
+             "--encoder", "vits", "--img-size", "28", "--epochs", "1",
+             "--bs", "8", "--save-path", str(out)],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (out / "latest").exists()

@@ -158,3 +158,26 @@ class TestTraining:
         p_after = jax.device_get(new_state.params)
         for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after)):
             np.testing.assert_array_equal(a, b)
+
+
+class TestMeshForBatch:
+    def test_shrinks_to_divisor(self):
+        from threedod.parallel import make_mesh_for_batch
+
+        assert make_mesh_for_batch(16).devices.size == 8
+        assert make_mesh_for_batch(2).devices.size == 2
+        assert make_mesh_for_batch(3).devices.size == 3
+        assert make_mesh_for_batch(7).devices.size == 7
+        assert make_mesh_for_batch(5).devices.size == 5
+        assert make_mesh_for_batch(11).devices.size == 1
+        assert make_mesh_for_batch(12).devices.size == 6
+
+    def test_shard_batch_replicates_indivisible_leaves(self):
+        import jax.numpy as jnp
+
+        from threedod.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        out = shard_batch({"a": jnp.zeros((16, 4)), "b": jnp.zeros((2, 4))}, mesh)
+        assert not out["a"].sharding.is_fully_replicated
+        assert out["b"].sharding.is_fully_replicated

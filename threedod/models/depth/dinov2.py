@@ -67,7 +67,9 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = jax.nn.dot_product_attention(q, k, v)
+        from ...ops.attention import multi_head_attention
+
+        out = multi_head_attention(q, k, v)
         out = out.reshape(b, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

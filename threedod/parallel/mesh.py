@@ -28,6 +28,26 @@ def make_mesh(axis_name: str = "data", devices=None) -> Mesh:
     return Mesh(devices, axis_names=(axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = "data", devices=None) -> Mesh:
+    """Largest data mesh whose size divides the global batch.
+
+    The reference (detectron2 launch) requires IMS_PER_BATCH divisible by
+    world size; here a tiny batch on a big slice degrades to fewer devices
+    instead of crashing in device_put."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while batch_size % n:
+        n -= 1
+    if n != len(devices):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "global batch %d not divisible by %d devices; data mesh uses %d",
+            batch_size, len(devices), n,
+        )
+    return Mesh(np.asarray(devices[:n]), axis_names=(axis_name,))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis over the mesh."""
     return NamedSharding(mesh, P(axis_name))
@@ -38,12 +58,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a Batch pytree with batch-axis sharding over the mesh."""
+    """Place a Batch pytree with batch-axis sharding over the mesh.
+
+    Leaves whose leading dim doesn't divide over the mesh are replicated
+    (correct, just not parallel) rather than crashing."""
     sharding = batch_sharding(mesh, axis_name)
+    rep = replicated(mesh)
+    n = mesh.devices.size
 
     def place(x):
         if x is None:
             return None
-        return jax.device_put(x, sharding)
+        ok = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
+        return jax.device_put(x, sharding if ok else rep)
 
     return jax.tree.map(place, batch)

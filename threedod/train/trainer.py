@@ -29,7 +29,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import batch_sharding, make_mesh_for_batch, replicated, shard_batch
 from .checkpoint import CheckpointManager
 from .events import EventStorage
 from .solver import build_optimizer, host_lr
@@ -52,7 +52,7 @@ class Trainer:
     def __init__(self, cfg, model, mesh=None):
         self.cfg = cfg
         self.model = model
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_mesh_for_batch(cfg.solver.ims_per_batch)
         self.optimizer, self.schedule = None, None
         self._train_step = None
 

@@ -195,6 +195,62 @@ def convert_sam(state_dict: Dict, depth: int = 12) -> Dict:
     return {"image_encoder": enc, "prompt_encoder": prompt, "mask_decoder": dec}
 
 
+def convert_dla(state_dict: Dict, variables: Dict) -> Dict:
+    """DLA ImageNet checkpoint (dl.yf.io/dla/models layout, the torch model at
+    reference dla.py:233-330) -> flax variables for models.backbones.dla.DLA.
+
+    `variables` is a template from `DLA.init` (random weights) giving the
+    module structure; every ConvBN leaf is filled from the torch state dict
+    by translating its flax path to the torch module name:
+      base_layer            -> base_layer.0 / .1
+      level0_i, level1_i    -> level{0,1}.{3i} / .{3i+1}   (conv,bn,relu seq)
+      levelK.tree*/convJ    -> levelK.tree*.convJ / .bnJ   (block convs)
+      .../root/conv         -> ....root.conv / .bn
+      .../project           -> ....project.0 / .1
+    The torch model also carries *unused* `project` weights at outer
+    (levels>1) Tree nodes (dla.py:210-221: the projected residual is ignored
+    by nested trees, which recompute their own) — those keys are skipped, as
+    are the classifier head fc.* keys.
+    """
+    sd = state_dict
+
+    def cb_names(path):
+        """flax ConvBN path -> (torch conv prefix, torch bn prefix)."""
+        head = path[0]
+        if head == "base_layer":
+            return "base_layer.0", "base_layer.1"
+        if head.startswith("level0_") or head.startswith("level1_"):
+            lvl, i = head.split("_")
+            return f"{lvl}.{3 * int(i)}", f"{lvl}.{3 * int(i) + 1}"
+        parts = list(path)
+        last = parts[-1]
+        if last == "project":
+            base = ".".join(parts[:-1])
+            return f"{base}.project.0", f"{base}.project.1"
+        if last == "conv" and len(parts) >= 2 and parts[-2] == "root":
+            base = ".".join(parts[:-1])
+            return f"{base}.conv", f"{base}.bn"
+        if last.startswith("conv"):
+            base = ".".join(parts[:-1])
+            return f"{base}.{last}", f"{base}.bn{last[4:]}"
+        raise KeyError(f"unrecognised DLA ConvBN path {path}")
+
+    def walk(tpl, path, kind):
+        # a ConvBN subtree: {'conv': {...}} in params, {'bn': {...}} in both
+        if kind == "params" and set(tpl) <= {"conv", "bn"} and "kernel" in tpl.get("conv", {}):
+            cname, bname = cb_names(path)
+            return {"conv": conv(sd, cname), "bn": batchnorm_params(sd, bname)}
+        if kind == "batch_stats" and set(tpl) == {"bn"}:
+            _, bname = cb_names(path)
+            return {"bn": batchnorm_stats(sd, bname)}
+        return {k: walk(v, path + (k,), kind) for k, v in tpl.items()}
+
+    return {
+        "params": walk(variables["params"], (), "params"),
+        "batch_stats": walk(variables["batch_stats"], (), "batch_stats"),
+    }
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """Load a .pth state dict to numpy without needing CUDA."""
     import torch

@@ -41,7 +41,7 @@ from threedod.evaluation import (
 from threedod.models import build_model
 from threedod.train import EventStorage, Trainer
 from threedod.train.checkpoint import CheckpointManager
-from threedod.parallel import make_mesh
+from threedod.parallel import make_mesh_for_batch
 
 logger = logging.getLogger("threedod")
 
@@ -109,7 +109,7 @@ def main():
 
     cfg, meta, priors = setup(args)
     model = build_model(cfg, priors=priors)
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.solver.ims_per_batch)
     trainer = Trainer(cfg, model, mesh=mesh)
 
     train_dicts = get_dataset_dicts(cfg.datasets.train)

@@ -39,7 +39,8 @@ from ..geometry.rotations import R_from_allocentric, R_to_allocentric, so3_relat
 from ..ops.losses import cross_entropy, safely_reduce_losses, smooth_l1_loss
 from ..ops.matcher import apply_ignore_regions, match_candidates, subsample_fg_bg
 from ..ops.nms import batched_nms
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align_windowed
+from ..ops.roi_align_pallas import pallas_roi_align_available
 from .heads import BoxHeadMLP, BoxPredictor, CubeHeadNet
 from .rpn import Proposals
 
@@ -168,13 +169,27 @@ class ROIHeads3D(nn.Module):
     # pooled features
     # ------------------------------------------------------------------
     def _pool(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray, resolution: int):
+        if pallas_roi_align_available():
+            from ..ops.roi_align_pallas import multilevel_roi_align_tpu as pool_fn
+        else:
+            pool_fn = multilevel_roi_align_windowed
+
+        # pool in the model compute dtype (features are bf16-born when
+        # model.dtype is bf16 — the f32 cast adds no information, but doubles
+        # the pooling HBM traffic, which is the hot path's bound); heads
+        # consume the pooled block in f32.
+        pool_dtype = (
+            jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
+        )
+        features = {k: v.astype(pool_dtype) for k, v in features.items()}
+
         def one(img_feats, img_boxes):
-            return multilevel_roi_align(
+            return pool_fn(
                 img_feats, img_boxes, output_size=resolution,
                 sampling_ratio=max(self.cfg.model.roi_box_head.pooler_sampling_ratio, 2),
             )
 
-        return jax.vmap(one)(features, boxes)
+        return jax.vmap(one)(features, boxes).astype(jnp.float32)
 
     # ------------------------------------------------------------------
     # 2D box branch

@@ -1,9 +1,16 @@
 """Fixed-size jittable NMS (hard greedy suppression with masks).
 
 Replaces Detectron2's CUDA ``batched_nms`` (reference fast_rcnn.py:105,
-rcnn3d.py:225, roi_heads.py:183). The greedy scan runs as a fori_loop over
-score-sorted candidates with a precomputed IoU matrix — O(N^2) memory but
-static shapes, so it compiles once and runs entirely on device.
+rcnn3d.py:225, roi_heads.py:183). TPU re-design: the greedy recursion
+  keep[i] = valid[i] and not any(keep[j] for j < i with IoU(i, j) > t)
+has a unique solution (well-founded on the score order), so instead of an
+N-step sequential scan — ~26 us of loop overhead per step on TPU, ~130 ms
+per forward at N=1000 x 5 levels — it is solved by Jacobi fixpoint
+iteration: whole-vector rounds of `keep <- valid & ~any(sup & keep)` until
+stable. Each round is one fused VPU pass over the (N, N) suppression
+matrix; rounds needed = the longest suppression chain (typically < 16,
+never more than N). Exactness is guaranteed by the fixpoint check, not by
+an iteration budget.
 """
 from __future__ import annotations
 
@@ -17,7 +24,7 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, vali
     """Greedy NMS keep-mask in the *given* order space.
 
     boxes (N, 4), scores (N,); returns keep (N,) bool. Invalid entries are
-    never kept. N is static; sort + scan happen on device.
+    never kept. N is static; sort + fixpoint rounds happen on device.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -27,15 +34,22 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, vali
     sorted_valid = valid[order]
 
     iou = pairwise_iou(sorted_boxes, sorted_boxes)  # (N, N)
-    suppress_src = iou > iou_threshold
+    # sup[i, j]: candidate j (earlier in score order, valid) can suppress i
+    earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
+    sup = (iou > iou_threshold) & earlier & sorted_valid[None, :]
 
-    def body(i, keep):
-        # candidate i survives if valid and not suppressed by any kept j < i
-        earlier = jnp.arange(n) < i
-        suppressed = jnp.any(keep & earlier & suppress_src[:, i])
-        return keep.at[i].set(sorted_valid[i] & ~suppressed)
+    def cond(carry):
+        keep, prev, first = carry
+        return first | jnp.any(keep != prev)
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    def body(carry):
+        keep, _, _ = carry
+        new = sorted_valid & ~jnp.any(sup & keep[None, :], axis=1)
+        return new, keep, jnp.zeros((), bool)
+
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (sorted_valid, sorted_valid, jnp.ones((), bool))
+    )
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep

@@ -135,6 +135,111 @@ def multilevel_roi_align_dense(
     return pooled
 
 
+def multilevel_roi_align_windowed(
+    features: dict,
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    strides: dict | None = None,
+    sampling_ratio: int = 2,
+    window: int = 48,
+) -> jnp.ndarray:
+    """FPN ROIAlign as window-slice + separable interpolation matmuls.
+
+    The TPU-fast path. Element gathers (the packed variant below) run at
+    ~60 GB/s effective on TPU; this formulation replaces them with
+      1. one stacked padded level buffer (L, H2, W2, C) — levels share p2's
+         padded geometry, built once per forward (~27 MB),
+      2. a (window, window, C) dynamic-slice per ROI — a contiguous windowed
+         gather XLA handles near memory bandwidth,
+      3. exact bilinear sampling + bin averaging folded into two per-axis
+         interpolation matrices Ay/Ax (out = Ay @ win @ Ax^T per channel) —
+         dense (S, window) matmuls on the MXU instead of scattered taps.
+    The FPN assignment rule bounds a ROI's extent at its assigned level to
+    ~28 cells + 2 taps <= `window` for square-ish boxes; extreme-aspect ROIs
+    (long side > (window-2) cells, where fixed-ratio sampling is already
+    sparse) get their level bumped until they fit — the one documented
+    deviation from the dense oracle (reference uses adaptive sampling_ratio
+    there, which we also do not replicate; see `roi_align` docstring).
+
+    Numerics match `multilevel_roi_align` exactly (same taps, same border
+    masking) for all ROIs within the window bound.
+    """
+    if strides is None:
+        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+    names = sorted(features.keys())
+    level_ids = [int(n[1:]) for n in names]
+    lmin, lmax = min(level_ids), max(level_ids)
+    c = features[names[0]].shape[-1]
+    # buffer at least one window big (tiny test canvases)
+    h0 = max(features[names[0]].shape[0], window)
+    w0 = max(features[names[0]].shape[1], window)
+    dtype = features[names[0]].dtype
+
+    # 1. stacked padded buffer (L, h0, w0, C)
+    buf = jnp.zeros((len(names), h0, w0, c), dtype)
+    hs, ws = [], []
+    for i, n in enumerate(names):
+        h, w = features[n].shape[:2]
+        hs.append(h)
+        ws.append(w)
+        buf = buf.at[i, :h, :w].set(features[n])
+    hs = jnp.asarray(hs)
+    ws = jnp.asarray(ws)
+    strides_arr = jnp.asarray([float(strides[n]) for n in names])
+
+    # 2. level assignment with extreme-aspect bump
+    assign = assign_fpn_levels(boxes, lmin, lmax) - lmin  # (N,)
+    ext = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+    ext_cells_at_lmin = ext / float(strides[names[0]])
+    need = jnp.ceil(jnp.log2(jnp.maximum(ext_cells_at_lmin / (window - 2), 1e-6)))
+    assign = jnp.maximum(assign, jnp.clip(need, 0, lmax - lmin).astype(jnp.int32))
+
+    lvl_h = hs[assign]
+    lvl_w = ws[assign]
+    scale = 1.0 / strides_arr[assign]
+
+    s, r = output_size, sampling_ratio
+    n = boxes.shape[0]
+    b = boxes * scale[:, None] - 0.5
+    x1, y1 = b[:, 0], b[:, 1]
+    bw = jnp.maximum(b[:, 2] - x1, 1e-6)
+    bh = jnp.maximum(b[:, 3] - y1, 1e-6)
+    grid = (jnp.arange(s * r) + 0.5) / r  # (sr,)
+    sx = x1[:, None] + grid[None, :] * (bw / s)[:, None]  # (N, sr)
+    sy = y1[:, None] + grid[None, :] * (bh / s)[:, None]
+
+    # 3. window origin per ROI (covers all taps; clamped into the buffer)
+    y0w = jnp.clip(jnp.floor(sy[:, 0]).astype(jnp.int32), 0, h0 - window)
+    x0w = jnp.clip(jnp.floor(sx[:, 0]).astype(jnp.int32), 0, w0 - window)
+
+    def axis_weights(coords, origin, limit):
+        """(N, sr) sample coords -> (N, s, window) bin-averaged tap weights."""
+        f0 = jnp.floor(coords)
+        frac = coords - f0
+        i0 = f0.astype(jnp.int32) - origin[:, None]  # tap0, window-local
+        tap_idx = jnp.arange(window)[None, None, :]
+        glob = f0.astype(jnp.int32)[:, :, None]
+        v0 = (glob >= 0) & (glob <= limit[:, None, None] - 1)
+        v1 = (glob + 1 >= 0) & (glob + 1 <= limit[:, None, None] - 1)
+        w_tap = (
+            (tap_idx == i0[:, :, None]) * ((1.0 - frac)[:, :, None]) * v0
+            + (tap_idx == i0[:, :, None] + 1) * frac[:, :, None] * v1
+        )  # (N, sr, window)
+        # bin-average the r samples of each output cell
+        return w_tap.reshape(n, s, r, window).mean(axis=2)
+
+    ay = axis_weights(sy, y0w, lvl_h).astype(dtype)  # (N, s, window)
+    ax = axis_weights(sx, x0w, lvl_w).astype(dtype)
+
+    # 4. window slice + two separable matmuls
+    def slice_one(lvl, y0, x0):
+        return jax.lax.dynamic_slice(buf, (lvl, y0, x0, 0), (1, window, window, c))[0]
+
+    wins = jax.vmap(slice_one)(assign, y0w, x0w)  # (N, window, window, C)
+    t = jnp.einsum("nsh,nhwc->nswc", ay, wins)  # (N, s, window, C)
+    return jnp.einsum("ntw,nswc->nstc", ax, t)  # (N, s, s, C)
+
+
 def multilevel_roi_align(
     features: dict,
     boxes: jnp.ndarray,

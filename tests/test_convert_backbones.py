@@ -133,3 +133,129 @@ def test_dla_converter_consumes_all_keys():
     leaves = jax.tree_util.tree_leaves_with_path(variables["params"])
     n_flax_conv = sum(1 for p, v in leaves if v.ndim == 4)
     assert n_torch_conv == n_flax_conv
+
+
+class TestCubeRCNNZooConverter:
+    """convert_cubercnn_rcnn3d: full detectron2-layout checkpoint -> RCNN3D."""
+
+    def _template(self):
+        from threedod.config import Config
+        from threedod.data.batch import Batch
+        from threedod.models import build_model
+
+        cfg = Config()
+        cfg.shapes.canvas_height = 96
+        cfg.shapes.canvas_width = 128
+        cfg.shapes.max_detections = 8
+        cfg.shapes.nms_candidates = 64
+        cfg.model.rpn.pre_nms_topk_test = 64
+        cfg.model.rpn.post_nms_topk_test = 32
+        cfg.model.roi_heads.num_classes = 5
+        cfg.model.dtype = "float32"
+        model = build_model(cfg)
+        batch = Batch(
+            image=jnp.zeros((1, 96, 128, 3)),
+            image_hw=jnp.asarray([[96, 128]]),
+            K=jnp.asarray([[[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]]]),
+            im_scale_ratio=jnp.ones((1,)),
+            image_id=jnp.zeros((1,), jnp.int32),
+        )
+        variables = jax.jit(
+            lambda b: model.init(
+                {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+                b, train=False,
+            )
+        )(batch)
+        return model, batch, variables
+
+    def _fake_zoo_sd(self, variables):
+        """Fabricate a d2-layout state dict with torch shapes derived from
+        the flax template (inverse of the converter's transposes)."""
+        rng = np.random.RandomState(0)
+        tm = _torch_dla("dla34")
+        sd = {f"backbone.bottom_up.{k}": v.numpy() for k, v in tm.state_dict().items()}
+
+        def t_conv(flax_kernel, prefix, bias=True):
+            kh, kw, ci, co = flax_kernel.shape
+            sd[f"{prefix}.weight"] = rng.randn(co, ci, kh, kw).astype(np.float32)
+            if bias:
+                sd[f"{prefix}.bias"] = rng.randn(co).astype(np.float32)
+
+        def t_linear(flax_kernel, prefix):
+            ci, co = flax_kernel.shape
+            sd[f"{prefix}.weight"] = rng.randn(co, ci).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.randn(co).astype(np.float32)
+
+        p = variables["params"]
+        for name, leaf in p["backbone"]["fpn"].items():
+            kind, lvl = name.split("_p")
+            t_conv(leaf["kernel"], f"backbone.fpn_{kind}{lvl}")
+        for name in ("conv", "objectness_logits", "anchor_deltas"):
+            t_conv(p["rpn_head"][name]["kernel"], f"proposal_generator.rpn_head.{name}")
+        for name, leaf in p["roi_heads"]["box_head"].items():
+            t_linear(leaf["kernel"], f"roi_heads.box_head.{name}")
+        for name in ("cls_score", "bbox_pred"):
+            t_linear(p["roi_heads"]["box_predictor"][name]["kernel"],
+                     f"roi_heads.box_predictor.{name}")
+        branch_map = {"shared": "feature_generator", "xy": "feature_generator_XY",
+                      "dims": "feature_generator_dims", "pose": "feature_generator_pose",
+                      "z": "feature_generator_Z", "conf": "feature_generator_conf"}
+        for name, leaf in p["roi_heads"]["cube_head"].items():
+            if name.startswith("bbox_3D"):
+                t_linear(leaf["kernel"], f"roi_heads.cube_head.{name}")
+            else:
+                branch, fc = name.rsplit("_", 1)
+                t_linear(leaf["kernel"], f"roi_heads.cube_head.{branch_map[branch]}.{fc}")
+        for prior in ("priors_dims_per_cat", "priors_z_scales", "priors_z_stats"):
+            if prior in p["roi_heads"]:
+                sd[f"roi_heads.{prior}"] = rng.rand(*p["roi_heads"][prior].shape).astype(np.float32) + 0.5
+        return sd
+
+    def test_structure_and_forward(self):
+        from threedod.utils.convert_weights import convert_cubercnn_rcnn3d
+
+        model, batch, variables = self._template()
+        sd = self._fake_zoo_sd(variables)
+        converted = convert_cubercnn_rcnn3d(sd, variables)
+
+        # tree structure + shapes identical to the template
+        ref_leaves = jax.tree_util.tree_leaves_with_path(variables["params"])
+        got = dict(jax.tree_util.tree_leaves_with_path(converted["params"]))
+        assert len(ref_leaves) == len(got)
+        for path, leaf in ref_leaves:
+            assert np.asarray(got[path]).shape == leaf.shape, path
+
+        # transposes: fpn lateral kernel equals torch weight transposed
+        w = sd["backbone.fpn_lateral2.weight"]
+        np.testing.assert_array_equal(
+            np.asarray(converted["params"]["backbone"]["fpn"]["lateral_p2"]["kernel"]),
+            w.transpose(2, 3, 1, 0),
+        )
+        # priors came from the checkpoint
+        np.testing.assert_array_equal(
+            np.asarray(converted["params"]["roi_heads"]["priors_dims_per_cat"]),
+            sd["roi_heads.priors_dims_per_cat"],
+        )
+
+        # the converted model runs end-to-end
+        converted = jax.tree.map(jnp.asarray, converted)
+        det = jax.jit(lambda v, b: model.apply(v, b, train=False))(converted, batch)
+        assert np.isfinite(np.asarray(det.scores)).all()
+
+    def test_chw_flatten_permutation(self):
+        """fc1 numerics: torch Linear on a CHW-flattened pooled block must
+        equal flax Dense (converted kernel) on the HWC flattening."""
+        from threedod.utils.convert_weights import linear_chw
+
+        torch.manual_seed(0)
+        h = w = 7
+        c, out = 16, 32
+        lin = torch.nn.Linear(c * h * w, out)
+        x_hwc = np.random.RandomState(1).randn(3, h, w, c).astype(np.float32)
+        x_chw = torch.from_numpy(x_hwc.transpose(0, 3, 1, 2).reshape(3, -1))
+        with torch.no_grad():
+            want = lin(x_chw).numpy()
+        sd = {"fc1.weight": lin.weight.detach().numpy(), "fc1.bias": lin.bias.detach().numpy()}
+        p = linear_chw(sd, "fc1", h, w, c)
+        got = x_hwc.reshape(3, -1) @ p["kernel"] + p["bias"]
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -251,6 +251,123 @@ def convert_dla(state_dict: Dict, variables: Dict) -> Dict:
     }
 
 
+def linear_chw(sd: Dict, prefix: str, h: int, w: int, c: int) -> Dict:
+    """Linear whose torch input was a CHW-flattened pooled block.
+
+    detectron2 flattens pooled ROI features channel-first (C, H, W); this
+    framework pools NHWC and flattens (H, W, C) — the fc weight columns
+    must be permuted accordingly (box_head.fc1 and cube_head *fc1)."""
+    wt = _t(sd[f"{prefix}.weight"])  # (out, C*H*W)
+    out_dim = wt.shape[0]
+    wt = wt.reshape(out_dim, c, h, w).transpose(2, 3, 1, 0).reshape(h * w * c, out_dim)
+    return {"kernel": wt, "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def convert_cubercnn_rcnn3d(
+    state_dict: Dict,
+    variables: Dict,
+    pooler_resolution: int = 7,
+    fpn_channels: int = 256,
+) -> Dict:
+    """Full Cube R-CNN zoo checkpoint (cubercnn:// .pth, detectron2
+    GeneralizedRCNN layout with DLA-FPN) -> flax variables for RCNN3D.
+
+    Reference naming: backbone.bottom_up.* (DLA trunk, dla.py:233-330),
+    backbone.fpn_lateral{2..6}/fpn_output{2..6} (d2 FPN over IN_FEATURES
+    p2..p6, configs/Base.yaml:44), proposal_generator.rpn_head.{conv,
+    objectness_logits,anchor_deltas}, roi_heads.box_head.fc{1,2},
+    roi_heads.box_predictor.{cls_score,bbox_pred}, roi_heads.cube_head.*
+    (cube_head.py:56-149), roi_heads.priors_* (roi_heads.py:93-95,752-760).
+
+    `variables` is a template from RCNN3D.init giving the module structure
+    (which cube-head FC stacks exist, cluster bins, etc.).
+    """
+    sd = state_dict
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    res = pooler_resolution
+    cfp = fpn_channels
+
+    # --- trunk (DLA) ----------------------------------------------------
+    trunk_sd = {
+        k[len("backbone.bottom_up."):]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.bottom_up.")
+    }
+    trunk = convert_dla(
+        trunk_sd,
+        {
+            "params": params["backbone"]["trunk"],
+            "batch_stats": bstats.get("backbone", {}).get("trunk", {}),
+        },
+    )
+
+    # --- FPN --------------------------------------------------------------
+    fpn = {}
+    for name in params["backbone"]["fpn"]:
+        kind, lvl = name.split("_p")  # lateral_p2 -> ("lateral", "2")
+        fpn[name] = conv(sd, f"backbone.fpn_{kind}{lvl}")
+
+    # --- RPN head -----------------------------------------------------------
+    rpn_head = {
+        "conv": conv(sd, "proposal_generator.rpn_head.conv"),
+        "objectness_logits": conv(sd, "proposal_generator.rpn_head.objectness_logits"),
+        "anchor_deltas": conv(sd, "proposal_generator.rpn_head.anchor_deltas"),
+    }
+
+    # --- ROI heads ------------------------------------------------------------
+    box_head = {"fc1": linear_chw(sd, "roi_heads.box_head.fc1", res, res, cfp)}
+    for name in params["roi_heads"]["box_head"]:
+        if name != "fc1":
+            box_head[name] = linear(sd, f"roi_heads.box_head.{name}")
+    box_predictor = {
+        "cls_score": linear(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": linear(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+
+    branch_map = {
+        "shared": "feature_generator",
+        "xy": "feature_generator_XY",
+        "dims": "feature_generator_dims",
+        "pose": "feature_generator_pose",
+        "z": "feature_generator_Z",
+        "conf": "feature_generator_conf",
+    }
+    cube_head = {}
+    for name in params["roi_heads"].get("cube_head", {}):
+        if name.startswith("bbox_3D"):
+            cube_head[name] = linear(sd, f"roi_heads.cube_head.{name}")
+        else:
+            branch, fc = name.rsplit("_", 1)  # shared_fc1 -> (shared, fc1)
+            tprefix = f"roi_heads.cube_head.{branch_map[branch]}.{fc}"
+            if fc == "fc1":
+                cube_head[name] = linear_chw(sd, tprefix, res, res, cfp)
+            else:
+                cube_head[name] = linear(sd, tprefix)
+
+    roi_heads = {
+        "box_head": box_head,
+        "box_predictor": box_predictor,
+    }
+    if cube_head:
+        roi_heads["cube_head"] = cube_head
+    for prior in ("priors_dims_per_cat", "priors_z_scales", "priors_z_stats"):
+        if prior in params["roi_heads"] and f"roi_heads.{prior}" in sd:
+            roi_heads[prior] = _t(sd[f"roi_heads.{prior}"])
+        elif prior in params["roi_heads"]:
+            roi_heads[prior] = params["roi_heads"][prior]  # keep template
+
+    out_params = {
+        "backbone": {"trunk": trunk["params"], "fpn": fpn},
+        "rpn_head": rpn_head,
+        "roi_heads": roi_heads,
+    }
+    out = {"params": out_params}
+    if bstats:
+        out["batch_stats"] = {"backbone": {"trunk": trunk["batch_stats"]}}
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """Load a .pth state dict to numpy without needing CUDA."""
     import torch

@@ -26,6 +26,31 @@ def zoo_dir() -> str:
     return os.environ.get("THREEDOD_ZOO_DIR", os.path.join("datasets", "zoo"))
 
 
+def load_model_weights(path: str, variables: dict) -> dict:
+    """Model-only weight load (reference MODEL.WEIGHTS_PRETRAIN semantics,
+    train_net.py:149-152): resolves cubercnn:// paths, converts torch .pth
+    zoo checkpoints (full detectron2 Cube R-CNN layout) through
+    convert_weights, or restores an orbax checkpoint carrying
+    {'state': {'params': ..., 'batch_stats': ...}} or raw variables.
+
+    Returns a new `variables` dict; raises on missing files."""
+    local = resolve(path)
+    if local.endswith((".pth", ".pt", ".pkl")):
+        from .convert_weights import convert_cubercnn_rcnn3d, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(local)
+        return convert_cubercnn_rcnn3d(sd, variables)
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(local))
+    if "state" in restored:
+        restored = restored["state"]
+    out = {"params": restored["params"]}
+    if "batch_stats" in restored and restored["batch_stats"]:
+        out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
 def resolve(path: str) -> str:
     """cubercnn://name -> local cached file path (raises if absent)."""
     if not path.startswith(PREFIX):

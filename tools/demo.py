@@ -74,13 +74,21 @@ def main():
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, b, train=False
     ))(batch0)
     if args.checkpoint:
-        ckpt = CheckpointManager(os.path.dirname(args.checkpoint) or ".", 1, 1)
-        state = {"state": None, "iteration": 0}
-        restored = ckpt.restore(os.path.basename(args.checkpoint), None)
-        if restored is not None:
-            st = restored["state"]
-            variables = {"params": st.params, "batch_stats": st.batch_stats}
-            print(f"loaded checkpoint {args.checkpoint}")
+        if args.checkpoint.startswith("cubercnn://") or args.checkpoint.endswith(
+            (".pth", ".pt", ".pkl")
+        ):
+            # torch zoo checkpoint: convert on the fly
+            from threedod.utils.model_zoo import load_model_weights
+
+            variables = load_model_weights(args.checkpoint, variables)
+            print(f"converted + loaded torch checkpoint {args.checkpoint}")
+        else:
+            ckpt = CheckpointManager(os.path.dirname(args.checkpoint) or ".", 1, 1)
+            restored = ckpt.restore(os.path.basename(args.checkpoint), None)
+            if restored is not None:
+                st = restored["state"]
+                variables = {"params": st.params, "batch_stats": st.batch_stats}
+                print(f"loaded checkpoint {args.checkpoint}")
 
     infer = jax.jit(lambda b: model.apply(variables, b, train=False))
 

@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from threedod.config import load_config
@@ -117,6 +118,21 @@ def main():
     sample = next(iter(loader))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
     start_iter = 0
+
+    if cfg.model.weights_pretrain:
+        # model-only load, no checkpointables (reference train_net.py:149-152)
+        from threedod.utils.model_zoo import load_model_weights
+
+        loaded = load_model_weights(
+            cfg.model.weights_pretrain,
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+        )
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, loaded["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, loaded.get("batch_stats", {})),
+        )
+        logger.info("loaded pretrain weights from %s", cfg.model.weights_pretrain)
 
     ckpt = CheckpointManager(cfg.output_dir, cfg.solver.checkpoint_period, cfg.solver.max_iter)
     if args.resume or args.eval_only:

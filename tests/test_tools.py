@@ -136,3 +136,28 @@ class TestEvalBoxesCLI:
         a = data["annotations"][0]
         for key in ("center_cam", "dimensions", "R_cam", "bbox3D_cam", "score"):
             assert key in a
+
+
+class TestKittiDemoCLI:
+    def test_dataset_inference_json(self, tiny_env, tmp_path):
+        cfg = tmp_path / "tiny_kd.yaml"
+        outdir = tmp_path / "out_kd"
+        write_tiny_cfg(cfg, tiny_env, outdir)
+        demo_out = tmp_path / "kd"
+        r = run_tool(
+            [os.path.join(REPO, "tools/kitti_demo.py"), "--config-file", str(cfg),
+             "--dataset", "synth_test", "--threshold", "0.0",
+             "--output-dir", str(demo_out),
+             "datasets.root", str(tiny_env)],
+            cwd=str(tiny_env),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        out_json = demo_out / "synth_test_predictions.json"
+        assert out_json.exists()
+        data = json.loads(out_json.read_text())
+        assert len(data) == 2  # synth_test has 2 images
+        for entry in data:
+            assert set(entry) >= {"image_id", "K", "width", "height", "predictions"}
+            for p in entry["predictions"]:
+                assert set(p) >= {"category", "score", "bbox", "center_cam",
+                                  "dimensions", "pose", "corners3D"}

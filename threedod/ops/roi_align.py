@@ -246,8 +246,16 @@ def multilevel_roi_align(
     output_size: int = 7,
     strides: dict | None = None,
     sampling_ratio: int = 2,
+    fit_window: int | None = None,
 ) -> jnp.ndarray:
-    """FPN ROIAlign via a single packed gather (TPU fast path).
+    """FPN ROIAlign via a single packed gather.
+
+    `fit_window`: when set, apply the same extreme-aspect level bump as the
+    windowed/Pallas paths (extent > fit_window-2 cells -> coarser level) so
+    tap positions — and therefore gradients — match them exactly. Used as
+    the backward of the Pallas kernel (its element-scatter VJP is ~2x
+    cheaper than the windowed path's slice-scatter VJP at train ROI
+    counts).
 
     All pyramid levels are flattened into one (sum HW, C) buffer; each ROI
     computes its sample coordinates in its *assigned* level's geometry and
@@ -268,6 +276,13 @@ def multilevel_roi_align(
     strides_arr = np.asarray([strides[n] for n in names], np.float32)
 
     assign = assign_fpn_levels(boxes, min(level_ids), max(level_ids)) - min(level_ids)
+    if fit_window is not None:
+        ext = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
+        ext_cells = ext / float(strides[names[0]])
+        need = jnp.ceil(jnp.log2(jnp.maximum(ext_cells / (fit_window - 2), 1e-6)))
+        assign = jnp.maximum(
+            assign, jnp.clip(need, 0, len(names) - 1).astype(jnp.int32)
+        )
     lvl_h = jnp.asarray(hs)[assign]  # (N,)
     lvl_w = jnp.asarray(ws)[assign]
     lvl_off = jnp.asarray(offsets)[assign]

@@ -226,11 +226,13 @@ def _pallas_forward(
 def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int):
     """custom_vjp wrapper: pallas_call is not auto-differentiable, and the
     train path differentiates pooling w.r.t. the FPN features (backbone
-    gradients). Forward runs the kernel; backward reuses the XLA windowed
-    formulation's VJP (identical semantics — see module docstring). Boxes
-    get no gradient (reference CUDA ROIAlign propagates none either, and
-    proposals are stop_gradient'ed upstream)."""
-    from .roi_align import multilevel_roi_align_windowed
+    gradients). Forward runs the kernel; backward reuses the packed-gather
+    path's VJP with the same level bump (`fit_window`), so tap positions —
+    and hence gradients — match the kernel's sampling exactly, at ~2x less
+    cost than the windowed path's slice-scatter VJP at train ROI counts.
+    Boxes get no gradient (reference CUDA ROIAlign propagates none either,
+    and proposals are stop_gradient'ed upstream)."""
+    from .roi_align import multilevel_roi_align
 
     strides = dict(strides_t)
 
@@ -243,13 +245,18 @@ def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int):
 
     def bwd(res, g):
         features, boxes = res
+        # the packed path computes in f32 regardless of feature dtype;
+        # route cotangents through f32 and cast the grads back
+        f32feats = jax.tree.map(lambda x: x.astype(jnp.float32), features)
         _, vjp = jax.vjp(
-            lambda fe: multilevel_roi_align_windowed(
-                fe, boxes, output_size, strides, sampling_ratio
+            lambda fe: multilevel_roi_align(
+                fe, boxes, output_size, strides, sampling_ratio,
+                fit_window=WINDOW_Y,
             ),
-            features,
+            f32feats,
         )
-        (dfeat,) = vjp(g)
+        (dfeat,) = vjp(g.astype(jnp.float32))
+        dfeat = jax.tree.map(lambda d, x: d.astype(x.dtype), dfeat, features)
         return dfeat, jnp.zeros_like(boxes)
 
     pool.defvjp(fwd, bwd)

@@ -161,3 +161,27 @@ class TestKittiDemoCLI:
             for p in entry["predictions"]:
                 assert set(p) >= {"category", "score", "bbox", "center_cam",
                                   "dimensions", "pose", "corners3D"}
+
+
+class TestWeakTrainCLI:
+    def test_weak_train_with_maps_and_masks(self, tiny_env, tmp_path):
+        """Weak Cube R-CNN end-to-end through the CLI: depth/ground maps +
+        precomputed object masks load, segmentation loss is computed."""
+        cfg = tmp_path / "tiny_weak.yaml"
+        outdir = tmp_path / "out_weak"
+        write_tiny_cfg(
+            cfg, tiny_env, outdir,
+            extra="loss_functions: [dims, iou, segmentation, z]\n",
+        )
+        cfg.write_text(cfg.read_text().replace(
+            "meta_architecture: RCNN3D", "meta_architecture: RCNN3DCombined"))
+        r = run_tool(
+            [os.path.join(REPO, "tools/train_net.py"), "--config-file", str(cfg),
+             "datasets.root", str(tiny_env)],
+            cwd=str(tiny_env),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        metrics = (outdir / "metrics.json").read_text().strip().splitlines()
+        rec = json.loads(metrics[-1])
+        assert any("loss_seg" in k for k in rec), sorted(rec)
+        assert all(np.isfinite(v) for k, v in rec.items() if k.startswith("loss"))

@@ -134,7 +134,50 @@ class DatasetMapper3D:
                 else np.zeros((0, 3, 3), np.float32)
             )
 
+            if self.load_maps:
+                sample["gt_masks"] = self._load_object_masks(
+                    record, annos, sample["gt_boxes2d"], nh, nw, do_flip
+                )
+
         return sample
+
+    def _load_object_masks(self, record, annos, boxes2d, nh, nw, do_flip):
+        """Per-GT instance masks on the quarter-resolution canvas grid.
+
+        Precomputed SAM masks (object_masks/{id}.npz, keys masks + ann_ids)
+        matched to kept annotations by annotation id; annotations without a
+        stored mask fall back to their 2D box rectangle (reference parity:
+        SAM always produces *some* mask per GT box, roi_heads.py:993-1011;
+        the quarter grid mirrors the reference's 4x mask subsampling,
+        scorefunction.py:104)."""
+        hm, wm = self.canvas_h // 4, self.canvas_w // 4
+        n = len(annos)
+        out = np.zeros((n, hm, wm), np.float32)
+
+        stored = {}
+        path = record.get("object_masks_path")
+        if path is not None and os.path.exists(path):
+            with np.load(path) as z:
+                masks, ids = z["masks"], z["ann_ids"]
+            stored = {int(a): masks[i] for i, a in enumerate(ids)}
+
+        rh, rw = max(round(nh / 4), 1), max(round(nw / 4), 1)
+        for i, anno in enumerate(annos):
+            m = stored.get(int(anno.get("ann_id", -1)))
+            if m is not None:
+                mi = np.asarray(
+                    Image.fromarray(m.astype(np.uint8)).resize((rw, rh), Image.NEAREST)
+                )
+                if do_flip:
+                    mi = mi[:, ::-1]
+                out[i, :rh, :rw] = mi
+            else:
+                x1, y1, x2, y2 = boxes2d[i] / 4.0  # network res -> mask grid
+                ys, xs = np.arange(hm)[:, None], np.arange(wm)[None, :]
+                out[i] = ((ys >= y1) & (ys < y2) & (xs >= x1) & (xs < x2)).astype(
+                    np.float32
+                )
+        return out
 
     def _load_map(self, path, key, nh, nw, do_flip):
         if path is None or not os.path.exists(path):

@@ -350,6 +350,7 @@ def load_omni3d_json(json_file, image_root, dataset_name, filter_settings, filte
         return out
 
     depth_idx = _asset_ids("depth_maps")
+    objmask_idx = _asset_ids("object_masks")
     ground_idx = _asset_ids("ground_maps")
 
     ann_keys = [
@@ -374,6 +375,11 @@ def load_omni3d_json(json_file, image_root, dataset_name, filter_settings, filte
             record["depth_image_path"] = os.path.join(image_root, "depth_maps", f"{img['id']}.npz")
         if img["id"] in ground_idx:
             record["ground_image_path"] = os.path.join(image_root, "ground_maps", f"{img['id']}.npz")
+        if img["id"] in objmask_idx:
+            # per-GT instance masks (SAM outputs precomputed offline —
+            # the reference runs SAM in-loop on the same fixed GT boxes,
+            # roi_heads.py:993-1011; precomputation is the TPU-first form)
+            record["object_masks_path"] = os.path.join(image_root, "object_masks", f"{img['id']}.npz")
 
         objs = []
         has_valid = False
@@ -384,6 +390,7 @@ def load_omni3d_json(json_file, image_root, dataset_name, filter_settings, filte
             ignore = is_ignore(anno, filter_settings, img["height"])
             obj["iscrowd"] = False
             obj["ignore"] = ignore
+            obj["ann_id"] = anno.get("id", -1)
 
             bbox2D = _select_bbox2d(anno, filter_settings)
             if bbox2D is None:

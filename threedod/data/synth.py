@@ -77,6 +77,7 @@ def generate_synth_dataset(
     if write_maps:
         os.makedirs(os.path.join(root, "depth_maps"), exist_ok=True)
         os.makedirs(os.path.join(root, "ground_maps"), exist_ok=True)
+        os.makedirs(os.path.join(root, "object_masks"), exist_ok=True)
 
     fx = fy = 1.1 * im_h
     cx, cy = im_w / 2.0, im_h / 2.0
@@ -122,6 +123,7 @@ def generate_synth_dataset(
                 depth = np.broadcast_to(np.where(vv > cy, floor_z, 60.0), (im_h, im_w)).copy()
                 ground = (np.broadcast_to(vv > cy, (im_h, im_w))).copy()
 
+            obj_masks, obj_mask_ids = [], []
             for ci, cname, dims, color, center, R in objs:
                 v3 = _verts(center, dims, R)
                 uv, z = _project(K, v3)
@@ -135,12 +137,16 @@ def generate_synth_dataset(
                 draw.polygon(poly, fill=fill, outline=tuple(int(c * 0.5) for c in color))
 
                 if write_maps:
-                    # rasterise hull mask for depth/ground updates
+                    # rasterise hull mask for depth/ground updates; the same
+                    # mask doubles as the per-object instance mask (what SAM
+                    # produces for real data — generate_object_masks.py)
                     mask_img = Image.new("L", (im_w, im_h), 0)
                     ImageDraw.Draw(mask_img).polygon(poly, fill=1)
                     m = np.asarray(mask_img, bool)
                     depth[m] = center[2]
                     ground[m] = False
+                    obj_masks.append(m)
+                    obj_mask_ids.append(ann_id + 1)  # id assigned just below
 
                 x1, y1 = uv.min(0)
                 x2, y2 = uv.max(0)
@@ -192,6 +198,12 @@ def generate_synth_dataset(
                 np.savez_compressed(
                     os.path.join(root, "ground_maps", f"{img_id}.npz"),
                     mask=ground.astype(np.uint8),
+                )
+                np.savez_compressed(
+                    os.path.join(root, "object_masks", f"{img_id}.npz"),
+                    masks=np.stack(obj_masks).astype(np.uint8)
+                    if obj_masks else np.zeros((0, im_h, im_w), np.uint8),
+                    ann_ids=np.asarray(obj_mask_ids, np.int64),
                 )
             images.append(
                 {

@@ -114,7 +114,9 @@ def main():
     trainer = Trainer(cfg, model, mesh=mesh)
 
     train_dicts = get_dataset_dicts(cfg.datasets.train)
-    loader = TrainLoader(train_dicts, cfg, seed=cfg.seed)
+    # weak Cube R-CNN consumes depth/ground maps + precomputed object masks
+    load_maps = cfg.model.meta_architecture == "RCNN3DCombined"
+    loader = TrainLoader(train_dicts, cfg, seed=cfg.seed, load_maps=load_maps)
     sample = next(iter(loader))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
     start_iter = 0

@@ -38,7 +38,10 @@ class RCNN3D(nn.Module):
     def __call__(self, batch: Batch, train: bool = False, oracle: bool = False):
         c = self.cfg
         feats = self.backbone(batch.image, train=train)
-        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+        # features stay in the backbone compute dtype (bf16): the RPN head
+        # computes in bf16 and emits f32 logits, and the ROI pooler casts
+        # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s
+        # of HBM round-trips per step.
         rpn_feats = {f: feats[f] for f in c.model.rpn.in_features}
 
         # RPN logic object: anchors derived from the (static) traced shapes

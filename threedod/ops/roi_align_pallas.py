@@ -8,11 +8,15 @@ multilevel_roi_align_windowed) cut that to ~50 ms but still round-trips the
 (N, 48, 48, C) windows through HBM. This kernel keeps them in VMEM:
 
   per grid step (R ROIs):
-    1. async-DMA each ROI's (48, 48, C) window from the stacked padded
-       level buffer in HBM into VMEM (double-buffered across the R ROIs),
-    2. two small MXU matmuls apply the per-axis interpolation matrices
-       (exact bilinear sampling + bin averaging, precomputed in XLA),
-    3. write the (S, S, C) pooled block.
+    1. async-DMA each ROI's (32, 48, C) window from the stacked padded
+       level buffer in HBM into VMEM (double-buffered across grid steps so
+       step i's compute overlaps step i+1's DMAs),
+    2. ONE transpose-free MXU matmul per ROI applies the full separable
+       interpolation: (S², H·W) x (H·W, C), with the outer-product weight
+       matrix M = ay ⊗ ax built on the MXU from per-axis tap weights
+       (precomputed in XLA) via constant 0/1 selector matmuls,
+    3. write the (S², C) pooled block ((S, S) split is a free reshape
+       outside).
 
 Traffic = windows read once + outputs written once — no intermediates.
 Semantics identical to multilevel_roi_align_windowed (same Ay/Ax weights,
@@ -30,15 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import assign_fpn_levels
 
-WINDOW_Y = 48        # rows per ROI window
-WINDOW_X = 64        # cols per ROI window: 48 + 16 slack so the dynamic x
+WINDOW_Y = 32        # rows per ROI window. Canonical FPN assignment
+                     # (floor(k0+log2(sqrt(area)/224))) bounds per-level ROI
+                     # extent to <28 cells, so a 30-cell tap budget (32 - 2
+                     # taps) is exact for every canonically-assigned ROI;
+                     # only extreme-aspect ROIs take the level bump below.
+WINDOW_X = 48        # cols per ROI window: 32 + 16 slack so the dynamic x
                      # start can be rounded down to the 16-sublane tile
                      # (bf16 tiling; also valid for f32's 8)
 S_PAD = 8  # output bins padded 7 -> 8 (f32 sublane tile)
 
 
 def _rois_per_step(itemsize: int) -> int:
-    # window scratch: R * 48 * 64 * C * itemsize; keep under ~7 MB of VMEM
+    # window scratch: 2 (phases) * R * 32 * 48 * C * itemsize; ~6.3 MB at
+    # C=256 bf16 — stay well under the ~16 MB VMEM budget
     return 4 if itemsize <= 2 else 2
 
 
@@ -47,14 +56,19 @@ def _kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
 
     lvl/y0/x0: (N,) int32 in SMEM (scalar prefetch); ay/ax: (R, S_PAD,
     WINDOW) blocks in VMEM; buf_ref: full (L, H, W, C) in HBM; out block
-    (R, S_PAD, S_PAD, C); win scratch (R, WINDOW, WINDOW, C) + DMA sems.
+    (R, S_PAD, S_PAD, C); win scratch (2, R, WINDOW, WINDOW, C) + DMA sems,
+    double-buffered across grid steps: step i's compute overlaps step i+1's
+    window DMAs (without this the DMA queue drains at every step boundary —
+    measured ~475 GB/s vs ~800 GB/s pipelined at the 32x48 window size).
     """
     r = ay_ref.shape[0]
     c = buf_ref.shape[-1]
-    base = pl.program_id(0) * r
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    phase = jax.lax.rem(i, 2)
 
-    def dma(j):
-        roi = base + j
+    def dma(step, j, ph):
+        roi = step * r + j
         return pltpu.make_async_copy(
             buf_ref.at[
                 lvl_ref[roi],
@@ -62,28 +76,59 @@ def _kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
                 pl.ds(pl.multiple_of(x0_ref[roi], 16), WINDOW_X),
                 :,
             ],
-            win.at[j],
-            sem.at[j],
+            win.at[ph, j],
+            sem.at[ph, j],
         )
 
-    for j in range(r):
-        dma(j).start()
+    @pl.when(i == 0)
+    def _():
+        for j in range(r):
+            dma(i, j, phase).start()
+
+    @pl.when(i + 1 < num)
+    def _():
+        for j in range(r):
+            dma(i + 1, j, 1 - phase).start()
+
+    # f32 windows would otherwise go through the MXU's default bf16-truncated
+    # passes (~1e-2 abs error); bf16 windows are already exact in native mode
+    # (bf16 multiply, f32 accumulate).
+    dt = ay_ref.dtype
+    prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    # One transpose-free matmul per ROI. The separable bilinear pooling
+    #   o[sy, sx, c] = sum_{h,w} ay[sy, h] * ax[sx, w] * win[h, w, c]
+    # is a single (S², H·W) x (H·W, C) MXU matmul against the window viewed
+    # as (H·W, C) — a free view because WINDOW_X is a multiple of the
+    # sublane tile. The earlier two-matmul form needed two VPU relayouts
+    # (transposes) per ROI, which dominated the kernel time. The outer
+    # product M = ay ⊗ ax is itself built on the MXU via constant 0/1
+    # selector matmuls (exact single-element copies): Mosaic cannot lower
+    # the broadcast-reshape form ("unsupported shape cast").
+    ss, hw = S_PAD * S_PAD, WINDOW_Y * WINDOW_X
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ss, S_PAD), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ss, S_PAD), 1)
+    row_y = (rr // S_PAD == cc).astype(dt)  # row (sy,sx) <- ay row sy
+    row_x = (rr % S_PAD == cc).astype(dt)   # row (sy,sx) <- ax row sx
+    hh = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_Y, hw), 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_Y, hw), 1)
+    col_y = (ch // WINDOW_X == hh).astype(dt)  # col (h,w) <- ay col h
+    ww = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_X, hw), 0)
+    cw = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_X, hw), 1)
+    col_x = (cw % WINDOW_X == ww).astype(dt)   # col (h,w) <- ax col w
+
+    def expand(rows, vec, cols):
+        t = jnp.dot(vec, cols, preferred_element_type=jnp.float32, precision=prec)
+        return jnp.dot(
+            rows, t.astype(dt), preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt)
 
     for j in range(r):
-        dma(j).wait()
-        w = win[j]  # (WINDOW_Y, WINDOW_X, C)
-        ay = ay_ref[j]  # (S_PAD, WINDOW_Y)
-        ax = ax_ref[j]  # (S_PAD, WINDOW_X)
-        # t[s, (w, c)] = sum_h ay[s, h] * win[h, w, c]
-        t = jnp.dot(
-            ay, w.reshape(WINDOW_Y, WINDOW_X * c), preferred_element_type=jnp.float32
-        )  # (S_PAD, WINDOW_X * C)
-        # o[t, (s, c)] = sum_w ax[t, w] * t[s, w, c]
-        t = t.reshape(S_PAD, WINDOW_X, c).transpose(1, 0, 2).reshape(WINDOW_X, S_PAD * c)
-        o = jnp.dot(ax, t.astype(ax.dtype), preferred_element_type=jnp.float32)
-        out_ref[j] = (
-            o.reshape(S_PAD, S_PAD, c).transpose(1, 0, 2).astype(out_ref.dtype)
-        )
+        dma(i, j, phase).wait()
+        w2 = win[phase, j].reshape(hw, c)
+        m = expand(row_y, ay_ref[j], col_y) * expand(row_x, ax_ref[j], col_x)
+        o = jnp.dot(m, w2, preferred_element_type=jnp.float32, precision=prec)
+        out_ref[j] = o.astype(out_ref.dtype)
 
 
 def _axis_weights(coords, origin, limit, n, s, r, window):
@@ -144,7 +189,8 @@ def _pallas_forward(
     assign = assign_fpn_levels(boxes, lmin, lmax) - lmin
     ext = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
     ext_cells = ext / float(strides[names[0]])
-    # fit budget: y window 48 (-2 taps), x window 56 (-2 taps, -7 align slack)
+    # fit budget: y window 32 (-2 taps); x window 48 covers 31 (-2 taps,
+    # -15 worst-case align slack) >= the y budget, so y governs the bump
     need = jnp.ceil(jnp.log2(jnp.maximum(ext_cells / (WINDOW_Y - 2), 1e-6)))
     assign = jnp.maximum(assign, jnp.clip(need, 0, lmax - lmin).astype(jnp.int32))
 
@@ -198,13 +244,16 @@ def _pallas_forward(
             pl.BlockSpec(memory_space=pltpu.HBM),  # buf stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (rois_per_step, S_PAD, S_PAD, c),
-            lambda i, *_: (i, 0, 0, 0),
+            # (R, 64, C) rows (sy, sx) — the (S_PAD, S_PAD) split happens as a
+            # free row-major reshape outside the kernel (an in-kernel (64, C)
+            # -> (8, 8, C) split is not bf16-tile aligned and would relayout)
+            (rois_per_step, S_PAD * S_PAD, c),
+            lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((rois_per_step, WINDOW_Y, WINDOW_X, c), dtype),
-            pltpu.SemaphoreType.DMA((rois_per_step,)),
+            pltpu.VMEM((2, rois_per_step, WINDOW_Y, WINDOW_X, c), dtype),
+            pltpu.SemaphoreType.DMA((2, rois_per_step)),
         ],
     )
 
@@ -212,14 +261,14 @@ def _pallas_forward(
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, S_PAD, S_PAD, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, S_PAD * S_PAD, c), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * (S_PAD * WINDOW_Y * WINDOW_X * c + S_PAD * S_PAD * WINDOW_X * c),
+            flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * WINDOW_X * c,
             bytes_accessed=n_pad * WINDOW_Y * WINDOW_X * c * itemsize,
             transcendentals=0,
         ),
     )(assign, y0w, x0w, ay, ax, buf)
-    return out[:n, :s, :s]
+    return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
 
 
 @functools.lru_cache(maxsize=None)

@@ -55,6 +55,10 @@ class DenseNet(nn.Module):
                 x = nn.relu(x).astype(self.dtype)
                 x = nn.Conv(features, (1, 1), use_bias=False, dtype=self.dtype, name=f"trans{bi + 1}_conv")(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        # reference densenet.py:29: p5 = features[9:] which ends with the
+        # final norm5 BatchNorm (no relu — that lives outside `features`)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="norm5")(x)
+        outs["p5"] = x.astype(self.dtype)
         outs["p6"] = max_pool(outs["p5"], 1, 2)
         return outs
 

@@ -59,8 +59,8 @@ class ShuffleNetV2(nn.Module):
             for bi in range(n):
                 x = ShuffleUnit(c, 2 if bi == 0 else 1, dtype=self.dtype, name=f"stage{si + 2}_{bi}")(x, train)
             outs[f"p{si + 3}"] = x
-        x = ConvBN(1024, 1, dtype=self.dtype, name="conv5")(x, train)
-        outs["p5"] = x
+        # reference shufflenet.py:27-35: p5 = stage4 output (464 ch); the
+        # torchvision conv5 is assigned but never used in the forward
         outs["p6"] = max_pool(x, 1, 2)
         return outs
 

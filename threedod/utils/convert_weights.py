@@ -376,3 +376,138 @@ def load_torch_checkpoint(path: str) -> Dict:
     if "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# torchvision trunk converters (reference backbone/{resnet,densenet,mnasnet,
+# shufflenet}.py wrap torchvision models; these map the official torchvision
+# state-dict naming onto the flax trunks in models/backbones/)
+# ---------------------------------------------------------------------------
+
+def _cb(sd, conv_prefix, bn_prefix):
+    """(params, stats) subtrees for a ConvBN leaf from torch conv+bn names."""
+    p = {"conv": conv(sd, conv_prefix), "bn": batchnorm_params(sd, bn_prefix)}
+    s = {"bn": batchnorm_stats(sd, bn_prefix)}
+    return p, s
+
+
+def convert_resnet(state_dict: Dict, name: str) -> Dict:
+    """torchvision resnet{18,34,50,101} state dict -> flax ResNet variables.
+
+    Key map (reference backbone/resnet.py:32-39 re-exposes the torchvision
+    modules unchanged): conv1/bn1 -> stem; layer{s}.{i}.conv{k}/bn{k} ->
+    layer{s}_{i}.conv{k}; layer{s}.{i}.downsample.{0,1} -> ...downsample.
+    Classifier fc.* keys are ignored.
+    """
+    from ..models.backbones.resnet import _RESNET_SPECS
+
+    sd = state_dict
+    spec = _RESNET_SPECS[name]
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = _cb(sd, "conv1", "bn1")
+    n_convs = 3 if spec["bottleneck"] else 2
+    for stage, n_blocks in enumerate(spec["block_counts"]):
+        for i in range(n_blocks):
+            t = f"layer{stage + 1}.{i}"
+            f = f"layer{stage + 1}_{i}"
+            p, s = {}, {}
+            for k in range(1, n_convs + 1):
+                p[f"conv{k}"], s[f"conv{k}"] = _cb(sd, f"{t}.conv{k}", f"{t}.bn{k}")
+            if f"{t}.downsample.0.weight" in sd:
+                p["downsample"], s["downsample"] = _cb(
+                    sd, f"{t}.downsample.0", f"{t}.downsample.1"
+                )
+            params[f], stats[f] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_densenet(state_dict: Dict, block_counts=(6, 12, 24, 16)) -> Dict:
+    """torchvision densenet121 state dict -> flax DenseNet variables.
+
+    Reference backbone/densenet.py:14-15 uses `densenet121(...).features`;
+    naming: features.conv0/norm0, features.denseblock{b}.denselayer{l}.
+    {norm1,conv1,norm2,conv2}, features.transition{t}.{norm,conv},
+    features.norm5. Classifier keys are ignored.
+    """
+    sd = state_dict
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = _cb(sd, "features.conv0", "features.norm0")
+    for b, n_layers in enumerate(block_counts):
+        for li in range(n_layers):
+            t = f"features.denseblock{b + 1}.denselayer{li + 1}"
+            f = f"block{b + 1}_layer{li + 1}"
+            params[f] = {
+                "norm1": batchnorm_params(sd, f"{t}.norm1"),
+                "conv1": conv(sd, f"{t}.conv1"),
+                "norm2": batchnorm_params(sd, f"{t}.norm2"),
+                "conv2": conv(sd, f"{t}.conv2"),
+            }
+            stats[f] = {
+                "norm1": batchnorm_stats(sd, f"{t}.norm1"),
+                "norm2": batchnorm_stats(sd, f"{t}.norm2"),
+            }
+        if b != len(block_counts) - 1:
+            t = f"features.transition{b + 1}"
+            params[f"trans{b + 1}_norm"] = batchnorm_params(sd, f"{t}.norm")
+            stats[f"trans{b + 1}_norm"] = batchnorm_stats(sd, f"{t}.norm")
+            params[f"trans{b + 1}_conv"] = conv(sd, f"{t}.conv")
+    params["norm5"] = batchnorm_params(sd, "features.norm5")
+    stats["norm5"] = batchnorm_stats(sd, "features.norm5")
+    return {"params": params, "batch_stats": stats}
+
+
+_MNASNET_STAGES = [(24, 3), (40, 3), (80, 3), (96, 2), (192, 4), (320, 1)]
+
+
+def convert_mnasnet(state_dict: Dict) -> Dict:
+    """torchvision mnasnet1_0 state dict -> flax MNASNet variables.
+
+    Reference backbone/mnasnet.py:14-15 uses `mnasnet1_0(...).layers`;
+    naming: layers.{0,1}/{3,4}/{6,7} (stem convs+bns), layers.{8+s}.{b}.
+    layers.{0,1}/{3,4}/{6,7} (inverted-residual expand/depthwise/project).
+    The final 1280-ch conv (layers.14+) and classifier are ignored.
+    """
+    sd = state_dict
+    params, stats = {}, {}
+    for i, nm in enumerate(["stem0", "stem1", "stem2"]):
+        params[nm], stats[nm] = _cb(sd, f"layers.{3 * i}", f"layers.{3 * i + 1}")
+    for si, (_, n_blocks) in enumerate(_MNASNET_STAGES):
+        for bi in range(n_blocks):
+            t = f"layers.{8 + si}.{bi}.layers"
+            f = f"stage{si}_{bi}"
+            p, s = {}, {}
+            p["expand"], s["expand"] = _cb(sd, f"{t}.0", f"{t}.1")
+            p["depthwise"], s["depthwise"] = _cb(sd, f"{t}.3", f"{t}.4")
+            p["project"], s["project"] = _cb(sd, f"{t}.6", f"{t}.7")
+            params[f], stats[f] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+_SHUFFLENET_STAGES = [(116, 4), (232, 8), (464, 4)]
+
+
+def convert_shufflenet(state_dict: Dict) -> Dict:
+    """torchvision shufflenet_v2_x1_0 state dict -> flax ShuffleNetV2.
+
+    Reference backbone/shufflenet.py:14-20: conv1.{0,1}, stage{2,3,4}.{b}.
+    branch1.{0,1,2,3} (stride-2 units only: dw conv, bn, 1x1 conv, bn) and
+    branch2.{0,1,3,4,5,6} (1x1, bn, dw, bn, 1x1, bn). conv5 exists in the
+    checkpoint but is unused by the reference forward (p5 = stage4 output)
+    and is skipped here.
+    """
+    sd = state_dict
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = _cb(sd, "conv1.0", "conv1.1")
+    for si, (_, n_blocks) in enumerate(_SHUFFLENET_STAGES):
+        for bi in range(n_blocks):
+            t = f"stage{si + 2}.{bi}"
+            f = f"stage{si + 2}_{bi}"
+            p, s = {}, {}
+            if bi == 0:  # stride-2 unit: branch1 present
+                p["b1_dw"], s["b1_dw"] = _cb(sd, f"{t}.branch1.0", f"{t}.branch1.1")
+                p["b1_conv"], s["b1_conv"] = _cb(sd, f"{t}.branch1.2", f"{t}.branch1.3")
+            p["b2_conv1"], s["b2_conv1"] = _cb(sd, f"{t}.branch2.0", f"{t}.branch2.1")
+            p["b2_dw"], s["b2_dw"] = _cb(sd, f"{t}.branch2.3", f"{t}.branch2.4")
+            p["b2_conv2"], s["b2_conv2"] = _cb(sd, f"{t}.branch2.5", f"{t}.branch2.6")
+            params[f], stats[f] = p, s
+    return {"params": params, "batch_stats": stats}

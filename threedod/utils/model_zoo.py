@@ -65,3 +65,54 @@ def resolve(path: str) -> str:
             f"there, then convert with threedod.utils.convert_weights."
         )
     return local
+
+
+def load_trunk_weights(path: str, backbone_name: str, variables: dict) -> dict:
+    """ImageNet trunk-only weight load (the reference builds torchvision
+    trunks with `pretrained=imagenet_pretrain` — backbone/resnet.py:17-27,
+    densenet.py:14, mnasnet.py:14, shufflenet.py:14, dla.py:330-415).
+
+    `path` is a torch .pth state dict for the matching torchvision/DLA
+    trunk; the converted weights are grafted under backbone/trunk of
+    `variables`. Returns a new variables dict.
+    """
+    from . import convert_weights as cw
+
+    sd = cw.load_torch_checkpoint(resolve(path))
+    if backbone_name.startswith("dla"):
+        trunk_tpl = {
+            "params": variables["params"]["backbone"]["trunk"],
+            "batch_stats": variables["batch_stats"]["backbone"]["trunk"],
+        }
+        conv = cw.convert_dla(sd, trunk_tpl)
+    elif backbone_name.startswith("resnet"):
+        conv = cw.convert_resnet(sd, backbone_name)
+    elif backbone_name.startswith("densenet"):
+        conv = cw.convert_densenet(sd)
+    elif backbone_name.startswith("mnasnet"):
+        conv = cw.convert_mnasnet(sd)
+    elif backbone_name.startswith("shufflenet"):
+        conv = cw.convert_shufflenet(sd)
+    else:
+        raise ValueError(f"no trunk converter for backbone '{backbone_name}'")
+
+    out = {k: dict(v) for k, v in variables.items()}
+    import jax
+
+    for col in ("params", "batch_stats"):
+        tpl = variables[col]["backbone"]["trunk"]
+        got = conv[col]
+        jax.tree_util.tree_map(
+            lambda a, b: None, tpl, got
+        )  # structural check: raises on mismatch
+        bb = dict(out[col]["backbone"])
+        bb["trunk"] = got
+        out[col] = {**out[col], "backbone": bb}
+    return out
+
+
+def imagenet_trunk_path(backbone_name: str) -> str | None:
+    """Conventional cache location for ImageNet trunk checkpoints
+    (datasets/zoo/imagenet/<backbone>.pth); None if absent."""
+    p = os.path.join(zoo_dir(), "imagenet", f"{backbone_name}.pth")
+    return p if os.path.exists(p) else None

@@ -121,6 +121,26 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
     start_iter = 0
 
+    if not cfg.model.weights_pretrain and not cfg.model.weights:
+        # ImageNet trunk init (reference `imagenet_pretrain = WEIGHTS_PRETRAIN
+        # + WEIGHTS == ''`, backbone/resnet.py:60 etc.): load a cached
+        # torchvision/DLA trunk checkpoint if one is present in the zoo dir.
+        from threedod.utils.model_zoo import imagenet_trunk_path, load_trunk_weights
+
+        trunk_path = imagenet_trunk_path(cfg.model.backbone)
+        if trunk_path:
+            loaded = load_trunk_weights(
+                trunk_path,
+                cfg.model.backbone,
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+            )
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, loaded["params"]),
+                batch_stats=jax.tree.map(jnp.asarray, loaded["batch_stats"]),
+            )
+            logger.info("initialised %s trunk from %s", cfg.model.backbone, trunk_path)
+
     if cfg.model.weights_pretrain:
         # model-only load, no checkpointables (reference train_net.py:149-152)
         from threedod.utils.model_zoo import load_model_weights

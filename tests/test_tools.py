@@ -185,3 +185,33 @@ class TestWeakTrainCLI:
         rec = json.loads(metrics[-1])
         assert any("loss_seg" in k for k in rec), sorted(rec)
         assert all(np.isfinite(v) for k, v in rec.items() if k.startswith("loss"))
+
+
+class TestGroundSegCLI:
+    def test_heuristic_ground_masks(self, tiny_env, tmp_path):
+        """generate_ground_segmentations end-to-end: prompted-box pipeline
+        with the heuristic box source + random-init SAM, writes {id}.npz
+        masks and the no_ground_idx.csv (filter_ground.py parity)."""
+        out_dir = tmp_path / "ground_maps"
+        csv_path = tmp_path / "no_ground_idx.csv"
+        r = run_tool(
+            [os.path.join(REPO, "tools", "generate_ground_segmentations.py"),
+             "--dataset-json", os.path.join(str(tiny_env), "Omni3D", "synth_test.json"),
+             "--image-root", str(tiny_env),
+             "--out-dir", str(out_dir),
+             "--no-ground-csv", str(csv_path),
+             "--heuristic", "--img-size", "128"],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert csv_path.exists()
+        import csv as _csv
+
+        with open(csv_path) as f:
+            failures = [row for row in _csv.reader(f)][1:]
+        masks = list(out_dir.glob("*.npz")) if out_dir.exists() else []
+        # every image either got a mask or a recorded failure
+        assert len(masks) + len(failures) == 2
+        for m in masks:
+            arr = np.load(m)["mask"]
+            assert arr.dtype == np.uint8 and arr.ndim == 2

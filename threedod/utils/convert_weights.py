@@ -511,3 +511,174 @@ def convert_shufflenet(state_dict: Dict) -> Dict:
             p["b2_conv2"], s["b2_conv2"] = _cb(sd, f"{t}.branch2.5", f"{t}.branch2.6")
             params[f], stats[f] = p, s
     return {"params": params, "batch_stats": stats}
+
+
+def _packed_mha(sd, prefix, dim):
+    """torch nn.MultiheadAttention (packed in_proj) -> q/k/v/out Dense trees."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])
+    b = _t(sd[f"{prefix}.in_proj_bias"])
+    return {
+        "q": {"kernel": w[:dim].T, "bias": b[:dim]},
+        "k": {"kernel": w[dim : 2 * dim].T, "bias": b[dim : 2 * dim]},
+        "v": {"kernel": w[2 * dim :].T, "bias": b[2 * dim :]},
+        "out": linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _box_mlp(sd, prefix):
+    return {
+        "fc1": linear(sd, f"{prefix}.layers.0"),
+        "fc2": linear(sd, f"{prefix}.layers.1"),
+        "fc3": linear(sd, f"{prefix}.layers.2"),
+    }
+
+
+def convert_groundingdino(
+    state_dict: Dict,
+    depths=(2, 2, 6, 2),
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    bert_layers: int = 12,
+) -> Dict:
+    """Official GroundingDINO swinT_OGC checkpoint -> flax GroundingDINO.
+
+    Key layout per the official repository (groundingdino/models/GroundingDINO):
+    backbone.0.* (Swin-T), bert.* (HF bert-base), feat_map, input_proj.{i},
+    transformer.{level_embed, encoder.{layers,text_layers,fusion_layers},
+    enc_output(_norm), enc_out_bbox_embed, tgt_embed, decoder.{layers,
+    ref_point_head, norm}}, bbox_embed.{i}. The model has no BatchNorm, so
+    the result is {'params': ...} only. Numeric parity is structural-only in
+    this image (no checkpoint available; see models/gdino/model.py docstring).
+    """
+    if any(k.startswith("module.") for k in state_dict.keys()):
+        state_dict = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    sd = state_dict
+    p: Dict = {}
+
+    # ---- Swin-T backbone
+    bb = {"patch_embed": conv(sd, "backbone.0.patch_embed.proj"),
+          "patch_norm": layernorm(sd, "backbone.0.patch_embed.norm")}
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = f"backbone.0.layers.{s}.blocks.{b}"
+            bb[f"stage{s}_block{b}"] = {
+                "norm1": layernorm(sd, f"{t}.norm1"),
+                "attn": {
+                    "qkv": linear(sd, f"{t}.attn.qkv"),
+                    "proj": linear(sd, f"{t}.attn.proj"),
+                    "relative_position_bias_table": _t(
+                        sd[f"{t}.attn.relative_position_bias_table"]
+                    ),
+                },
+                "norm2": layernorm(sd, f"{t}.norm2"),
+                "mlp_fc1": linear(sd, f"{t}.mlp.fc1"),
+                "mlp_fc2": linear(sd, f"{t}.mlp.fc2"),
+            }
+        if s != len(depths) - 1:
+            t = f"backbone.0.layers.{s}.downsample"
+            bb[f"downsample{s}"] = {
+                "norm": layernorm(sd, f"{t}.norm"),
+                "reduction": {"kernel": _t(sd[f"{t}.reduction.weight"]).T},
+            }
+        if f"backbone.0.norm{s}.weight" in sd:  # out_indices norms
+            bb[f"out_norm{s}"] = layernorm(sd, f"backbone.0.norm{s}")
+    p["backbone"] = bb
+
+    # ---- BERT
+    bert = {
+        "word_embeddings": {"embedding": _t(sd["bert.embeddings.word_embeddings.weight"])},
+        "position_embeddings": {"embedding": _t(sd["bert.embeddings.position_embeddings.weight"])},
+        "token_type_embeddings": {"embedding": _t(sd["bert.embeddings.token_type_embeddings.weight"])},
+        "embeddings_norm": layernorm(sd, "bert.embeddings.LayerNorm"),
+    }
+    for i in range(bert_layers):
+        t = f"bert.encoder.layer.{i}"
+        bert[f"layer{i}"] = {
+            "q": linear(sd, f"{t}.attention.self.query"),
+            "k": linear(sd, f"{t}.attention.self.key"),
+            "v": linear(sd, f"{t}.attention.self.value"),
+            "attn_out": linear(sd, f"{t}.attention.output.dense"),
+            "attn_norm": layernorm(sd, f"{t}.attention.output.LayerNorm"),
+            "ffn_in": linear(sd, f"{t}.intermediate.dense"),
+            "ffn_out": linear(sd, f"{t}.output.dense"),
+            "ffn_norm": layernorm(sd, f"{t}.output.LayerNorm"),
+        }
+    p["bert"] = bert
+    p["feat_map"] = linear(sd, "feat_map")
+
+    for i in range(4):
+        p[f"input_proj{i}"] = conv(sd, f"input_proj.{i}.0")
+        p[f"input_gn{i}"] = {
+            "scale": _t(sd[f"input_proj.{i}.1.weight"]),
+            "bias": _t(sd[f"input_proj.{i}.1.bias"]),
+        }
+    p["level_embed"] = _t(sd["transformer.level_embed"])
+
+    def deform(prefix):
+        return {
+            "sampling_offsets": linear(sd, f"{prefix}.sampling_offsets"),
+            "attention_weights": linear(sd, f"{prefix}.attention_weights"),
+            "value_proj": linear(sd, f"{prefix}.value_proj"),
+            "output_proj": linear(sd, f"{prefix}.output_proj"),
+        }
+
+    for i in range(enc_layers):
+        te = f"transformer.encoder.text_layers.{i}"
+        fu = f"transformer.encoder.fusion_layers.{i}"
+        de = f"transformer.encoder.layers.{i}"
+        p[f"enc{i}"] = {
+            "fusion": {
+                "layer_norm_v": layernorm(sd, f"{fu}.layer_norm_v"),
+                "layer_norm_l": layernorm(sd, f"{fu}.layer_norm_l"),
+                "v_proj": linear(sd, f"{fu}.attn.v_proj"),
+                "l_proj": linear(sd, f"{fu}.attn.l_proj"),
+                "values_v_proj": linear(sd, f"{fu}.attn.values_v_proj"),
+                "values_l_proj": linear(sd, f"{fu}.attn.values_l_proj"),
+                "out_v_proj": linear(sd, f"{fu}.attn.out_v_proj"),
+                "out_l_proj": linear(sd, f"{fu}.attn.out_l_proj"),
+                "gamma_v": _t(sd[f"{fu}.gamma_v"]),
+                "gamma_l": _t(sd[f"{fu}.gamma_l"]),
+            },
+            "text_attn": _packed_mha(sd, f"{te}.self_attn", 256),
+            "text_norm": layernorm(sd, f"{te}.norm1"),
+            "text_ffn": {
+                "fc1": linear(sd, f"{te}.linear1"),
+                "fc2": linear(sd, f"{te}.linear2"),
+                "norm": layernorm(sd, f"{te}.norm2"),
+            },
+            "deform": deform(f"{de}.self_attn"),
+            "vis_norm": layernorm(sd, f"{de}.norm1"),
+            "vis_ffn": {
+                "fc1": linear(sd, f"{de}.linear1"),
+                "fc2": linear(sd, f"{de}.linear2"),
+                "norm": layernorm(sd, f"{de}.norm2"),
+            },
+        }
+
+    p["enc_output"] = linear(sd, "transformer.enc_output")
+    p["enc_output_norm"] = layernorm(sd, "transformer.enc_output_norm")
+    p["enc_bbox"] = _box_mlp(sd, "transformer.enc_out_bbox_embed")
+    p["tgt_embed"] = _t(sd["transformer.tgt_embed.weight"])
+    p["ref_point_head_fc1"] = linear(sd, "transformer.decoder.ref_point_head.layers.0")
+    p["ref_point_head_fc2"] = linear(sd, "transformer.decoder.ref_point_head.layers.1")
+
+    for i in range(dec_layers):
+        t = f"transformer.decoder.layers.{i}"
+        p[f"dec{i}"] = {
+            "self_attn": _packed_mha(sd, f"{t}.self_attn", 256),
+            # official layer norms by role: norm2 follows self-attn, norm1
+            # follows the deformable image cross-attn, norm3 the FFN
+            "norm1": layernorm(sd, f"{t}.norm2"),
+            "ca_text": _packed_mha(sd, f"{t}.ca_text", 256),
+            "catext_norm": layernorm(sd, f"{t}.catext_norm"),
+            "cross_attn": deform(f"{t}.cross_attn"),
+            "norm2": layernorm(sd, f"{t}.norm1"),
+            "ffn": {
+                "fc1": linear(sd, f"{t}.linear1"),
+                "fc2": linear(sd, f"{t}.linear2"),
+                "norm": layernorm(sd, f"{t}.norm3"),
+            },
+        }
+        p[f"bbox_embed{i}"] = _box_mlp(sd, f"bbox_embed.{i}")
+    p["decoder_norm"] = layernorm(sd, "transformer.decoder.norm")
+    return {"params": p}

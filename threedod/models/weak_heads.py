@@ -139,6 +139,29 @@ def masked_quantile(values, mask, q):
     return v[idx]
 
 
+BOX_SAMPLE_GRID = 32  # per-ROI quantile window (see _box_window)
+
+
+def _box_window(img, box, s=BOX_SAMPLE_GRID):
+    """(s, s) nearest-pixel samples on a uniform grid spanning `box`.
+
+    Per-ROI quantiles over image regions would otherwise sort the full
+    image once per ROI (N sorts of H*W — ~100 ms/step at train shapes);
+    an s x s nearest-sample window keeps actual pixel values (no
+    interpolation) and shrinks each sort to s². For boxes larger than
+    s x s pixels this subsamples the region — the same spirit as the
+    reference's stride-2 subsampling (roi_heads.py:1216-1218), one level
+    coarser; quantiles agree to within sampling noise.
+    """
+    h, w = img.shape
+    t = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = box[1] + t * jnp.maximum(box[3] - box[1], 1.0)
+    xs = box[0] + t * jnp.maximum(box[2] - box[0], 1.0)
+    yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
 class ROIHeads3DScore(ROIHeads3D):
     """Weak-loss ROI head; shares box/cube plumbing with ROIHeads3D."""
 
@@ -237,16 +260,10 @@ class ROIHeads3DScore(ROIHeads3D):
         if "z_pseudo_gt_patch" in loss_functions:
             # median depth inside the (clamped) projected box, subsampled 2x
             ds = depth_maps[:, ::2, ::2]
-            hs, ws = ds.shape[1:]
-            yy = jnp.arange(hs)[:, None]
-            xx = jnp.arange(ws)[None, :]
 
             def box_median(img_idx, box):
-                bx = box / 2.0
-                m = (yy >= bx[1]) & (yy < jnp.maximum(bx[3], bx[1] + 1)) & (
-                    xx >= bx[0]
-                ) & (xx < jnp.maximum(bx[2], bx[0] + 1))
-                return masked_quantile(ds[img_idx], m, 0.5)
+                win = _box_window(ds[img_idx], box / 2.0)
+                return masked_quantile(win, jnp.ones_like(win, bool), 0.5)
 
             img_idx = jnp.repeat(jnp.arange(b), f)
             boxes_cl = jnp.stack(
@@ -304,29 +321,31 @@ class ROIHeads3DScore(ROIHeads3D):
             corner_z = cuboid_verts(jnp.concatenate([centers, dims], -1), poses)[..., 2]
             pred_range = corner_z.max(-1) - corner_z.min(-1)
             ds = depth_maps[:, ::2, ::2]
-            hs, ws = ds.shape[1:]
             img_idx = jnp.repeat(jnp.arange(b), f)
             if masks_per is not None:
-                # resize mask grid indices onto the depth subsample grid
+                # sample depth + instance mask on the same window grid
+                # inside the GT box; quantiles restricted to mask==1
                 hm, wm = masks_per.shape[1:]
-                ys = (jnp.arange(hs) * hm / hs).astype(jnp.int32)
-                xs = (jnp.arange(ws) * wm / ws).astype(jnp.int32)
-                m_on_depth = masks_per[:, ys[:, None], xs[None, :]] > 0.5
-            else:
-                yy = jnp.arange(hs)[None, :, None] * 2
-                xx = jnp.arange(ws)[None, None, :] * 2
-                gb = gt_boxes
-                m_on_depth = (
-                    (yy >= gb[:, 1, None, None]) & (yy < gb[:, 3, None, None])
-                    & (xx >= gb[:, 0, None, None]) & (xx < gb[:, 2, None, None])
+                mask_scale = jnp.asarray([wm / w, hm / h, wm / w, hm / h])
+
+                def range_of(img_i, gt_i, box):
+                    dwin = _box_window(ds[img_i], box / 2.0)
+                    mwin = _box_window(gt_masks[img_i, gt_i], box * mask_scale) > 0.5
+                    q9 = masked_quantile(dwin, mwin, 0.9)
+                    q1 = masked_quantile(dwin, mwin, 0.1)
+                    return jnp.where(jnp.any(mwin), q9 - q1, 0.0)
+
+                gt_range = jax.vmap(range_of)(
+                    img_idx, sampled.gt_index.reshape(-1), gt_boxes
                 )
+            else:
 
-            def range_of(img_i, m):
-                q9 = masked_quantile(ds[img_i], m, 0.9)
-                q1 = masked_quantile(ds[img_i], m, 0.1)
-                return q9 - q1
+                def range_of(img_i, box):
+                    dwin = _box_window(ds[img_i], box / 2.0)
+                    ones = jnp.ones_like(dwin, bool)
+                    return masked_quantile(dwin, ones, 0.9) - masked_quantile(dwin, ones, 0.1)
 
-            gt_range = jax.vmap(range_of)(img_idx, m_on_depth)
+                gt_range = jax.vmap(range_of)(img_idx, gt_boxes)
             per_loss["loss_depth"] = (
                 smooth_l1(jax.lax.stop_gradient(gt_range), pred_range), ch.loss_w_depth,
             )

@@ -1,6 +1,8 @@
-"""Build the native evaluation core: python native/setup.py build_ext --inplace
+"""Build the native cores: python native/setup.py build_ext --inplace
 
-Produces threedod/evaluation/_evalc*.so; the evaluator auto-detects it.
+Produces threedod/evaluation/_evalc*.so (COCO-style eval inner loops) and
+threedod/data/_loaderc*.so (GIL-free JPEG/NPZ loading); both are
+auto-detected by their Python callers and fall back to numpy/PIL.
 """
 import os
 
@@ -18,7 +20,14 @@ setup(
             sources=[os.path.join(here, "evalc.cpp")],
             include_dirs=[np.get_include()],
             extra_compile_args=["-O3", "-std=c++17"],
-        )
+        ),
+        Extension(
+            "threedod.data._loaderc",
+            sources=[os.path.join(here, "loaderc.cpp")],
+            include_dirs=[np.get_include()],
+            libraries=["jpeg", "z"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
     script_args=["build_ext", "--inplace"],
 )

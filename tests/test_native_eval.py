@@ -68,3 +68,67 @@ class TestNativeMatch:
                 oe._evalc = saved
 
         np.testing.assert_allclose(run(True), run(False), atol=1e-12)
+
+
+class TestNativeLoader:
+    """native/loaderc.cpp: GIL-free JPEG + NPZ loading (skipped when the
+    extension isn't built; native/setup.py builds it)."""
+
+    @pytest.fixture(scope="class")
+    def files(self, tmp_path_factory):
+        from PIL import Image
+
+        td = tmp_path_factory.mktemp("nio")
+        rng = np.random.RandomState(0)
+        img = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+        jp = td / "x.jpg"
+        Image.fromarray(img).save(jp, quality=95)
+        cz = td / "c.npz"
+        np.savez_compressed(
+            cz,
+            depth=rng.rand(41, 29).astype(np.float32),
+            mask=rng.rand(13, 7) > 0.5,
+            ids=np.arange(5, dtype=np.int64),
+        )
+        uz = td / "u.npz"
+        np.savez(uz, depth=rng.rand(8, 9).astype(np.float32))
+        return jp, cz, uz
+
+    def test_jpeg_matches_pil(self, files):
+        from threedod.data import native_io
+
+        if not native_io.native_available():
+            pytest.skip("native loader not built")
+        from PIL import Image
+
+        jp, _, _ = files
+        got = native_io._loaderc.imread_rgb(str(jp))
+        ref = np.asarray(Image.open(jp).convert("RGB"))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_npz_matches_numpy(self, files):
+        from threedod.data import native_io
+
+        if not native_io.native_available():
+            pytest.skip("native loader not built")
+        _, cz, uz = files
+        for path in (cz, uz):
+            with np.load(path) as z:
+                for k in z.files:
+                    got = native_io._loaderc.npz_load(str(path), k)
+                    assert got.dtype == z[k].dtype and np.array_equal(got, z[k])
+
+    def test_fallback_without_extension(self, files, monkeypatch):
+        from threedod.data import native_io
+
+        monkeypatch.setattr(native_io, "_loaderc", None)
+        jp, cz, _ = files
+        assert native_io.imread_rgb(str(jp)).shape == (37, 53, 3)
+        assert native_io.npz_load(str(cz), "depth").shape == (41, 29)
+
+    def test_missing_key_raises_then_numpy_keyerror(self, files):
+        from threedod.data import native_io
+
+        _, cz, _ = files
+        with pytest.raises(KeyError):
+            native_io.npz_load(str(cz), "nope")

@@ -18,6 +18,8 @@ from typing import Optional
 import numpy as np
 from PIL import Image
 
+from .native_io import imread_rgb, npz_load
+
 _M1 = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
 _M2 = np.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
 
@@ -58,11 +60,11 @@ class DatasetMapper3D:
         return scale
 
     def __call__(self, record: dict) -> dict:
-        img = Image.open(record["file_name"]).convert("RGB")
-        w0, h0 = img.size
+        rgb = imread_rgb(record["file_name"])  # native JPEG path when built
+        h0, w0 = rgb.shape[:2]
         scale = self._scale_for(h0, w0)
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
-        img = img.resize((nw, nh), Image.BILINEAR)
+        img = Image.fromarray(rgb).resize((nw, nh), Image.BILINEAR)
         image = np.asarray(img, np.float32)
         if self.format == "BGR":
             image = image[:, :, ::-1]
@@ -157,8 +159,8 @@ class DatasetMapper3D:
         stored = {}
         path = record.get("object_masks_path")
         if path is not None and os.path.exists(path):
-            with np.load(path) as z:
-                masks, ids = z["masks"], z["ann_ids"]
+            masks = npz_load(path, "masks")
+            ids = npz_load(path, "ann_ids")
             stored = {int(a): masks[i] for i, a in enumerate(ids)}
 
         rh, rw = max(round(nh / 4), 1), max(round(nw / 4), 1)
@@ -182,7 +184,7 @@ class DatasetMapper3D:
     def _load_map(self, path, key, nh, nw, do_flip):
         if path is None or not os.path.exists(path):
             return np.zeros((self.canvas_h, self.canvas_w), np.float32)
-        arr = np.load(path)[key]
+        arr = npz_load(path, key)
         m = np.asarray(
             Image.fromarray(np.asarray(arr, np.float32)).resize((nw, nh), Image.NEAREST)
         )

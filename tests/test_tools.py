@@ -237,3 +237,35 @@ class TestFitProposalCoefs:
         for axis, a, b in coefs:
             assert 0.3 < float(a) < 3.0, (axis, a)
         assert (tmp_path / "plots" / "z_values_to_find.png").exists()
+
+
+class TestRetryReinit:
+    def test_failed_attempt_without_checkpoint_reinitializes(self, tiny_env, tmp_path):
+        """Regression: a failed attempt before any checkpoint exists must NOT
+        reuse the diverged in-memory state (it would replay NaN parameters
+        forever) — the reference rebuilds the model (train_net.py:456-493)."""
+        r = run_tool(
+            [os.path.join(REPO, "tools", "train_net.py"),
+             "--config-file", os.path.join(REPO, "configs", "Base_Synth.yaml"),
+             "datasets.root", str(tiny_env),
+             "output_dir", str(tmp_path / "out"),
+             "solver.base_lr", "1e6",          # guaranteed explosion
+             "solver.clip_gradients", "0.0",
+             "solver.warmup_iters", "0",
+             "solver.max_iter", "8",
+             "solver.checkpoint_period", "4",
+             "model.stabilize", "0.4",
+             "max_training_attempts", "2",
+             "test.eval_period", "0",
+             "shapes.canvas_height", "128", "shapes.canvas_width", "160",
+             "input.min_size_train", "[128]", "input.min_size_test", "128",
+             "solver.ims_per_batch", "2"],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = r.stderr + r.stdout
+        assert log.count("!! Restarting training") >= 2, log[-1500:]
+        # the diverged-state signature: a retry that inherited NaN params
+        # skips every step against the 1e6 fallback rolling mean
+        assert "rolling mean 1000000.00" not in log, log[-1500:]
+        assert "loss nan" not in log, log[-1500:]

@@ -40,7 +40,6 @@ def sine_pos_embed_2d(h: int, w: int, dim: int = 256, temperature: float = 10000
     ys = ys / h * 2 * math.pi
     xs = xs / w * 2 * math.pi
     num = dim // 4
-    t = temperature ** (2 * (np.arange(num) // 1) / (dim // 2))
     t = temperature ** (2 * np.arange(num) / (dim // 2))
     ye = ys[..., None] / t
     xe = xs[..., None] / t

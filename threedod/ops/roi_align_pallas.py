@@ -211,7 +211,7 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
         ay = jnp.pad(ay, ((0, pad), (0, 0), (0, 0)))
         ax = jnp.pad(ax, ((0, pad), (0, 0), (0, 0)))
     return dict(
-        names=names, c=c, h0=h0, w0=w0, dtype=dtype, hs=hs, ws=ws,
+        names=names, c=c, h0=h0, w0=w0,
         n=n, n_pad=n_pad, assign=assign, y0w=y0w, x0w=x0w, ay=ay, ax=ax,
     )
 
@@ -406,7 +406,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
             bytes_accessed=2 * n_pad * WINDOW_Y * WINDOW_X * c * 4,
             transcendentals=0,
         ),
-    )(assign, y0w, x0w, ay.astype(dtype), ax.astype(dtype), gp, dbuf)
+    )(assign, y0w, x0w, ay, ax, gp, dbuf)
 
     dfeat = {}
     for i, nm in enumerate(names):

@@ -59,7 +59,7 @@ def register_datasets(cfg, names):
 def setup(args):
     cfg = load_config(args.config_file, args.opts)
     os.makedirs(cfg.output_dir, exist_ok=True)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s")
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s", force=True)
 
     fs = get_filter_settings_from_cfg(cfg)
     train_paths = [
@@ -188,6 +188,16 @@ def main():
         if restored is not None:
             state = jax.device_put(restored["state"])
             start_iter = int(restored["iteration"]) + 1
+        else:
+            # No checkpoint yet: the reference rebuilds the model from
+            # scratch on a failed attempt (train_net.py:456-493). Reusing the
+            # diverged in-memory state would replay NaN parameters forever;
+            # vary the init key per attempt so retries take a new trajectory.
+            state = trainer.init_state(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), attempt), sample
+            )
+            start_iter = 0
+            logger.info("attempt %d: no checkpoint yet — fresh re-init", attempt)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     results = do_test(cfg, model, variables, meta)

@@ -161,3 +161,56 @@ class TestOmni3DEval3D:
         ev2 = Omni3DEval(gts, dts, mode="2D", eval_prox=False)
         ev2.evaluate(); ev2.accumulate()
         assert ev2.summarize()[0] < 0.99
+
+
+class TestIdSpaceConsistency:
+    def test_oracle_detections_through_conversion_score_full_ap(self):
+        """Regression: predictions go through detections_to_coco_json with
+        the contiguous->dataset id map — GTs from gts_from_records must be
+        mapped with the SAME map or every match fails and AP reads 0
+        (caught live on a real-TPU 2000-iter run that trained to loss 1.9
+        yet evaluated at AP 0.0)."""
+        from threedod.evaluation.inference import (
+            Omni3DEvaluationHelper,
+            detections_to_coco_json,
+            gts_from_records,
+        )
+        from threedod.models.roi_heads3d import Detections
+
+        id_map = {10: 0, 20: 1}  # dataset id -> contiguous
+        id_map_inv = {v: k for k, v in id_map.items()}
+        corners = np.zeros((1, 2, 8, 3), np.float32)
+        corners[0, :, :, :] = np.array(
+            [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (4, 5)], np.float32
+        )
+        det = Detections(
+            boxes=jnp.asarray([[[10.0, 10, 50, 50], [60, 60, 90, 100]]]),
+            scores=jnp.asarray([[0.9, 0.8]]),
+            scores_2d=jnp.asarray([[0.9, 0.8]]),
+            classes=jnp.asarray([[0, 1]]),
+            valid=jnp.asarray([[True, True]]),
+            center_cam=jnp.asarray([[[0.0, 0, 4.5], [0, 0, 4.5]]]),
+            dimensions=jnp.ones((1, 2, 3)),
+            pose=jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3)),
+            center_2d=jnp.zeros((1, 2, 2)),
+            corners3d=jnp.asarray(corners),
+        )
+        preds = detections_to_coco_json(det, [7], np.ones(1), id_map_inv)
+        assert sorted(p["category_id"] for p in preds) == [10, 20]
+
+        records = [{
+            "image_id": 7,
+            "annotations": [
+                {"category_id": 0, "bbox": [10.0, 10, 40, 40],
+                 "center_cam": [0, 0, 4.5], "bbox3D_cam": corners[0, 0].tolist()},
+                {"category_id": 1, "bbox": [60.0, 60, 30, 40],
+                 "center_cam": [0, 0, 4.5], "bbox3D_cam": corners[0, 1].tolist()},
+            ],
+        }]
+        gts = gts_from_records(records, id_map_inv)
+        assert sorted(g["category_id"] for g in gts) == [10, 20]
+
+        helper = Omni3DEvaluationHelper(["ds"], ["a", "b"], id_map)
+        res = helper.evaluate("ds", gts, preds)
+        assert abs(res["AP2D"] - 100.0) < 1e-6, res
+        assert set(res["percat2D"]) == {10, 20}

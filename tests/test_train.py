@@ -124,7 +124,7 @@ class TestTraining:
         id_map_inv = {v: k for k, v in meta.thing_dataset_id_to_contiguous_id.items()}
         preds, timing = inference_on_dataset(infer_fn, loader, id_map_inv, warmup=0)
         assert timing["images"] == 4
-        gts = gts_from_records(records)
+        gts = gts_from_records(records, id_map_inv)
         assert len(gts) > 0
         helper = Omni3DEvaluationHelper(
             ["synth_test"], meta.thing_classes, meta.thing_dataset_id_to_contiguous_id

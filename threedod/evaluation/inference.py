@@ -90,8 +90,14 @@ def detections_to_coco_json(det, image_ids, ratios, id_map_inv=None, score_thres
     return out
 
 
-def gts_from_records(records: List[dict], id_map=None) -> List[dict]:
-    """Eval-ready GT dicts from loader records (original resolution)."""
+def gts_from_records(records: List[dict], id_map_inv=None) -> List[dict]:
+    """Eval-ready GT dicts from loader records (original resolution).
+
+    Loader records carry CONTIGUOUS category ids (load_omni3d_json); pass
+    the same contiguous->dataset `id_map_inv` given to inference_on_dataset
+    so GTs land in the same id space as the predictions — with only one
+    side mapped every match fails and AP silently reads 0.
+    """
     gts = []
     gid = 0
     for rec in records:
@@ -99,6 +105,8 @@ def gts_from_records(records: List[dict], id_map=None) -> List[dict]:
             gid += 1
             x, y, w, h = anno["bbox"]
             cat = anno["category_id"]
+            if id_map_inv is not None and cat >= 0:
+                cat = id_map_inv.get(cat, cat)
             gts.append(
                 {
                     "id": gid,
@@ -183,8 +191,9 @@ class Omni3DEvaluationHelper:
                 res["AP3D_near"] = stats[4] * 100
                 res["AP3D_med"] = stats[5] * 100
                 res["AP3D_far"] = stats[6] * 100
+            # category ids are already dataset ids on both sides
             res[f"percat{mode}"] = {
-                self.id_map_inv.get(c, c): ap * 100 for c, ap in ev.per_category_ap().items()
+                c: ap * 100 for c, ap in ev.per_category_ap().items()
             }
             self._union_evals[mode].append(ev)
         self.results[dataset_name] = res

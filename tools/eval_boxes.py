@@ -106,9 +106,10 @@ def run_proposal_eval(cfg, meta, priors, mode: str, proposal_function: str, use_
         helper = Omni3DEvaluationHelper(
             list(cfg.datasets.test), meta.thing_classes, meta.thing_dataset_id_to_contiguous_id
         )
+        id_map_inv = {v: k for k, v in meta.thing_dataset_id_to_contiguous_id.items()}
         for name in cfg.datasets.test:
             records = get_dataset_dicts([name])
-            gts = gts_from_records(records)
+            gts = gts_from_records(records, id_map_inv)
             results[name] = helper.evaluate(name, gts, predictions)
     return results
 

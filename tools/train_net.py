@@ -91,7 +91,7 @@ def do_test(cfg, model, variables, meta, storage=None, iteration=0):
             name, len(preds), timing["images"], timing["images_per_s"],
             timing["s_per_iter_compute"],
         )
-        gts = gts_from_records(records)
+        gts = gts_from_records(records, id_map_inv)
         res = helper.evaluate(name, gts, preds)
         logger.info("%s: AP2D %.2f AP3D %.2f (@15 %.2f @25 %.2f @50 %.2f)",
                     name, res["AP2D"], res["AP3D"], res["AP3D@15"], res["AP3D@25"], res["AP3D@50"])

@@ -252,7 +252,10 @@ def _coerce(value, current):
         try:
             value = ast.literal_eval(value)
         except (ValueError, SyntaxError):
-            pass
+            # bare-word lists like "[dims,iou,z]" are not Python literals —
+            # split them by hand when the target field is a sequence
+            if isinstance(current, (list, tuple)) and value.startswith("[") and value.endswith("]"):
+                value = [p.strip().strip("'\"") for p in value[1:-1].split(",") if p.strip()]
     if isinstance(current, tuple) and isinstance(value, (list, tuple)):
         return tuple(value)
     if isinstance(current, bool):

@@ -44,7 +44,8 @@ class GroundTruth:
 class Batch:
     """One jit-able batch."""
 
-    image: jnp.ndarray  # (B, H, W, 3) float32, mean/std normalised
+    image: jnp.ndarray  # (B, H, W, 3): uint8 raw (loader path, device
+    # normalizes) or float32 already mean/std-normalised (direct use)
     image_hw: jnp.ndarray  # (B, 2) int32 valid extent inside the canvas
     K: jnp.ndarray  # (B, 3, 3) original intrinsics
     im_scale_ratio: jnp.ndarray  # (B,) original_height / network_height
@@ -58,11 +59,24 @@ class Batch:
         return self.image.shape[0]
 
 
+def normalize_image(image, model_cfg):
+    """Device-side (x - pixel_mean) / pixel_std for uint8 loader batches.
+
+    Float inputs are assumed already normalised (tests/benches construct
+    them directly); uint8 is the loader's compact wire format.
+    """
+    if image.dtype == jnp.uint8:
+        mean = jnp.asarray(model_cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(model_cfg.pixel_std, jnp.float32)
+        return (image.astype(jnp.float32) - mean) / std
+    return image
+
+
 def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
     """Stack mapper outputs (numpy dicts) into one padded Batch."""
     b = len(samples)
     h, w = samples[0]["image"].shape[:2]
-    image = np.stack([s["image"] for s in samples]).astype(np.float32)
+    image = np.stack([s["image"] for s in samples])  # uint8 from the mapper
     image_hw = np.stack([s["image_hw"] for s in samples]).astype(np.int32)
     K = np.stack([s["K"] for s in samples]).astype(np.float32)
     ratio = np.asarray([s["im_scale_ratio"] for s in samples], np.float32)
@@ -86,11 +100,11 @@ def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
         masks = None
         if "gt_masks" in samples[0] and samples[0]["gt_masks"] is not None:
             hm, wm = samples[0]["gt_masks"].shape[1:]
-            m_arr = np.zeros((b, max_gt, hm, wm), np.float32)
+            m_arr = np.zeros((b, max_gt, hm, wm), np.uint8)
             for i, s in enumerate(samples):
                 n = min(len(s["gt_masks"]), max_gt)
                 if n:
-                    m_arr[i, :n] = s["gt_masks"][:n]
+                    m_arr[i, :n] = (np.asarray(s["gt_masks"][:n]) > 0.5).astype(np.uint8)
             masks = jnp.asarray(m_arr)
         gt = GroundTruth(
             boxes2d=jnp.asarray(boxes2d),
@@ -103,9 +117,9 @@ def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
 
     depth_map = ground_map = None
     if with_maps and "depth_map" in samples[0] and samples[0]["depth_map"] is not None:
-        depth_map = jnp.asarray(np.stack([s["depth_map"] for s in samples]).astype(np.float32))
+        depth_map = jnp.asarray(np.stack([s["depth_map"] for s in samples]).astype(np.float16))
     if with_maps and "ground_map" in samples[0] and samples[0]["ground_map"] is not None:
-        ground_map = jnp.asarray(np.stack([s["ground_map"] for s in samples]).astype(np.float32))
+        ground_map = jnp.asarray(np.stack([s["ground_map"] for s in samples]).astype(np.uint8))
 
     return Batch(
         image=jnp.asarray(image),

@@ -73,10 +73,11 @@ class DatasetMapper3D:
         if do_flip:
             image = image[:, ::-1, :]
 
-        image = (image - self.pixel_mean) / self.pixel_std
-
-        canvas = np.zeros((self.canvas_h, self.canvas_w, 3), np.float32)
-        canvas[:nh, :nw] = image
+        # the canvas ships to the device as uint8 (4x less host->device
+        # traffic — significant over a relay and on DCN); meta-archs apply
+        # (x - pixel_mean) / pixel_std on device
+        canvas = np.zeros((self.canvas_h, self.canvas_w, 3), np.uint8)
+        canvas[:nh, :nw] = np.clip(image, 0, 255).astype(np.uint8)
 
         sample = {
             "image": canvas,

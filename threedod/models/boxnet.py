@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..data.batch import Batch
+from ..data.batch import Batch, normalize_image
 from .backbones import build_backbone
 from .boxer import BoxerOutput, box_fill_masks, propose_and_score
 from .roi_heads3d import Detections, ROIHeads3D, scale_Ks
@@ -50,7 +50,7 @@ class BoxNet(nn.Module):
         roi_heads.py:155-196).
         """
         c = self.cfg
-        feats = self.backbone(batch.image, train=False)
+        feats = self.backbone(normalize_image(batch.image, c.model), train=False)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s
@@ -114,9 +114,15 @@ class BoxNet(nn.Module):
 
         if masks is None:
             masks = jax.vmap(lambda bx: box_fill_masks(bx, h, w))(boxes)
+        else:
+            masks = masks.astype(jnp.float32)  # loader ships masks as uint8
 
-        depth = batch.depth_map if batch.depth_map is not None else jnp.full((batch.batch_size, h, w), 3.0)
-        ground = batch.ground_map
+        depth = (
+            batch.depth_map.astype(jnp.float32)
+            if batch.depth_map is not None
+            else jnp.full((batch.batch_size, h, w), 3.0)
+        )
+        ground = None if batch.ground_map is None else batch.ground_map.astype(jnp.float32)
 
         def per_image(key_i, boxes_i, masks_i, pm_i, ps_i, depth_i, ground_i, K_i, gt_t_i, hw_i):
             gt_cubes = Cubes(gt_t_i[:, None, :]) if gt_t_i is not None and with_iou3d else None

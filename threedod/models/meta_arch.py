@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..data.batch import Batch
+from ..data.batch import Batch, normalize_image
 from .backbones import build_backbone
 from .roi_heads3d import Detections, ROIHeads3D
 from .rpn import RPN, RPNHead
@@ -37,7 +37,7 @@ class RCNN3D(nn.Module):
 
     def __call__(self, batch: Batch, train: bool = False, oracle: bool = False):
         c = self.cfg
-        feats = self.backbone(batch.image, train=train)
+        feats = self.backbone(normalize_image(batch.image, c.model), train=train)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s

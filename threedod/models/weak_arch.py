@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..data.batch import Batch
+from ..data.batch import Batch, normalize_image
 from .backbones import build_backbone
 from .rpn import RPN, RPNHead
 from .weak_heads import ROIHeads3DScore
@@ -37,7 +37,7 @@ class RCNN3DCombined(nn.Module):
 
     def __call__(self, batch: Batch, train: bool = False):
         c = self.cfg
-        feats = self.backbone(batch.image, train=train)
+        feats = self.backbone(normalize_image(batch.image, c.model), train=train)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s
@@ -56,13 +56,14 @@ class RCNN3DCombined(nn.Module):
             )
             h, w = batch.image.shape[1:3]
             depth = (
-                batch.depth_map
+                batch.depth_map.astype(jnp.float32)
                 if batch.depth_map is not None
                 else jnp.full((batch.batch_size, h, w), 3.0)
             )
             losses, metrics = self.roi_heads(
                 roi_feats, proposals, batch.K, batch.im_scale_ratio, batch.image_hw,
-                gt=batch.gt, train=True, depth_maps=depth, ground_maps=batch.ground_map,
+                gt=batch.gt, train=True, depth_maps=depth,
+                ground_maps=None if batch.ground_map is None else batch.ground_map.astype(jnp.float32),
             )
             losses.update(rpn_losses)
             metrics.update(rpn_metrics)

@@ -300,7 +300,7 @@ class ROIHeads3DScore(ROIHeads3D):
         if seg_needed and gt_masks is not None:
             hm, wm = gt_masks.shape[2:]
             img_idx = jnp.repeat(jnp.arange(b), f)
-            masks_per = gt_masks[img_idx, sampled.gt_index.reshape(-1)]  # (N, Hm, Wm)
+            masks_per = gt_masks[img_idx, sampled.gt_index.reshape(-1)].astype(jnp.float32)  # (N, Hm, Wm)
 
         if "segmentation" in loss_functions and masks_per is not None:
             hm, wm = masks_per.shape[1:]
@@ -330,7 +330,7 @@ class ROIHeads3DScore(ROIHeads3D):
 
                 def range_of(img_i, gt_i, box):
                     dwin = _box_window(ds[img_i], box / 2.0)
-                    mwin = _box_window(gt_masks[img_i, gt_i], box * mask_scale) > 0.5
+                    mwin = _box_window(gt_masks[img_i, gt_i].astype(jnp.float32), box * mask_scale) > 0.5
                     q9 = masked_quantile(dwin, mwin, 0.9)
                     q1 = masked_quantile(dwin, mwin, 0.1)
                     return jnp.where(jnp.any(mwin), q9 - q1, 0.0)

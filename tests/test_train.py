@@ -148,7 +148,12 @@ class TestTraining:
         dicts = CATALOG.get("synth_train")
         loader = TrainLoader(dicts, cfg, batch_size=cfg.solver.ims_per_batch, seed=1)
         batch = next(iter(loader))
-        batch = batch.replace(image=batch.image.at[0, 0, 0, 0].set(jnp.nan))
+        # loader images are uint8 now (NaN would silently truncate);
+        # poison through the float path, which the model treats as
+        # already-normalised input
+        batch = batch.replace(
+            image=batch.image.astype(jnp.float32).at[0, 0, 0, 0].set(jnp.nan)
+        )
         p_before = jax.device_get(state.params)
         new_state, total, losses, metrics, diverging = step(
             state, shard_batch(batch, trainer.mesh), jax.random.PRNGKey(0),

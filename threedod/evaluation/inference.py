@@ -132,6 +132,7 @@ def inference_on_dataset(infer_fn, loader, id_map_inv=None, warmup: int = 5) -> 
     """
     predictions = []
     n_images = 0
+    n_timed = 0
     t_data = t_compute = 0.0
     steps = 0
     t0 = time.perf_counter()
@@ -144,6 +145,7 @@ def inference_on_dataset(infer_fn, loader, id_map_inv=None, warmup: int = 5) -> 
         if steps >= warmup:
             t_data += t_in - t_last
             t_compute += t_out - t_in
+            n_timed += n_real
         image_ids = np.asarray(batch.image_id)[:n_real]
         det_trim = type(det)(*[x[:n_real] for x in det])
         predictions.extend(
@@ -159,7 +161,14 @@ def inference_on_dataset(infer_fn, loader, id_map_inv=None, warmup: int = 5) -> 
         "images": n_images,
         "s_per_iter_data": t_data / timed_steps,
         "s_per_iter_compute": t_compute / timed_steps,
-        "images_per_s": n_images / total if total > 0 else 0.0,
+        # rate over post-warmup steps only — the first iteration carries
+        # the jit compile, which swamps small datasets (the reference's
+        # instrumentation also warms up, omni3d_evaluation.py:556)
+        "images_per_s": (
+            n_timed / (t_data + t_compute)
+            if n_timed and (t_data + t_compute) > 0
+            else (n_images / total if total > 0 else 0.0)
+        ),
     }
     return predictions, timing
 

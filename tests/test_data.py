@@ -285,3 +285,47 @@ class TestObjectMaskPipeline:
                 continue
             assert abs(xs.min() - b[0] / 4) <= 1.5
             assert abs(xs.max() - (b[2] / 4 - 1)) <= 1.5
+
+
+import jax.numpy as jnp
+
+
+class TestWireDtypes:
+    def test_uint8_and_prenormalized_float_paths_agree(self):
+        from threedod.config import Config
+        from threedod.data.batch import normalize_image
+
+        cfg = Config()
+        rng = np.random.RandomState(0)
+        raw = rng.randint(0, 256, (2, 8, 10, 3)).astype(np.uint8)
+        mean = np.asarray(cfg.model.pixel_mean, np.float32)
+        std = np.asarray(cfg.model.pixel_std, np.float32)
+        pre = (raw.astype(np.float32) - mean) / std
+        a = np.asarray(normalize_image(jnp.asarray(raw), cfg.model))
+        b = np.asarray(normalize_image(jnp.asarray(pre), cfg.model))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_collate_ships_compact_dtypes(self):
+        from threedod.config import Config
+        from threedod.data.batch import collate
+
+        cfg = Config()
+        s = {
+            "image": np.zeros((16, 16, 3), np.uint8),
+            "image_hw": np.asarray([16, 16]),
+            "K": np.eye(3, dtype=np.float32),
+            "im_scale_ratio": 1.0,
+            "image_id": 1,
+            "gt_boxes2d": np.zeros((1, 4), np.float32),
+            "gt_classes": np.zeros((1,), np.int32),
+            "gt_boxes3d": np.zeros((1, 9), np.float32),
+            "gt_poses": np.eye(3, dtype=np.float32)[None],
+            "gt_masks": np.ones((1, 4, 4), np.float32),
+            "depth_map": np.full((16, 16), 3.0, np.float32),
+            "ground_map": np.ones((16, 16), np.float32),
+        }
+        batch = collate([s, s], max_gt=4, with_maps=True)
+        assert batch.image.dtype == jnp.uint8
+        assert batch.depth_map.dtype == jnp.float16
+        assert batch.ground_map.dtype == jnp.uint8
+        assert batch.gt.masks.dtype == jnp.uint8

@@ -87,7 +87,12 @@ def main():
             restored = ckpt.restore(os.path.basename(args.checkpoint), None)
             if restored is not None:
                 st = restored["state"]
-                variables = {"params": st.params, "batch_stats": st.batch_stats}
+                # orbax without an abstract tree restores plain dicts
+                if isinstance(st, dict):
+                    variables = {"params": st["params"],
+                                 "batch_stats": st.get("batch_stats", {})}
+                else:
+                    variables = {"params": st.params, "batch_stats": st.batch_stats}
                 print(f"loaded checkpoint {args.checkpoint}")
 
     infer = jax.jit(lambda b: model.apply(variables, b, train=False))

@@ -78,7 +78,12 @@ def main():
             ckpt = CheckpointManager(os.path.dirname(args.checkpoint) or ".", 1, 1)
             restored = ckpt.restore(os.path.basename(args.checkpoint), None)
             st = restored["state"]
-            variables = {"params": st.params, "batch_stats": st.batch_stats}
+            # orbax without an abstract tree restores plain dicts
+            if isinstance(st, dict):
+                variables = {"params": st["params"],
+                             "batch_stats": st.get("batch_stats", {})}
+            else:
+                variables = {"params": st.params, "batch_stats": st.batch_stats}
         logger.info("loaded %s", args.checkpoint)
 
     infer = jax.jit(lambda b: model.apply(variables, b, train=False))

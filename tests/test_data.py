@@ -305,6 +305,28 @@ class TestWireDtypes:
         b = np.asarray(normalize_image(jnp.asarray(pre), cfg.model))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_uint8_canvas_padding_is_zero_in_normalized_space(self):
+        # reference (Detectron2 ImageList) normalizes then zero-pads: the
+        # pad region must be 0 after normalization, not (0 - mean) / std
+        from threedod.config import Config
+        from threedod.data.batch import normalize_image
+
+        cfg = Config()
+        rng = np.random.RandomState(1)
+        raw = rng.randint(0, 256, (2, 8, 10, 3)).astype(np.uint8)
+        raw[0, 6:, :, :] = 0  # canvas padding rows for image 0 (hw = 6x10)
+        raw[1, :, 7:, :] = 0  # canvas padding cols for image 1 (hw = 8x7)
+        hw = np.asarray([[6, 10], [8, 7]], np.int32)
+        out = np.asarray(normalize_image(jnp.asarray(raw), cfg.model, jnp.asarray(hw)))
+        assert np.all(out[0, 6:] == 0.0)
+        assert np.all(out[1, :, 7:] == 0.0)
+        # valid region matches the plain normalization
+        mean = np.asarray(cfg.model.pixel_mean, np.float32)
+        std = np.asarray(cfg.model.pixel_std, np.float32)
+        np.testing.assert_allclose(
+            out[0, :6], (raw[0, :6].astype(np.float32) - mean) / std, atol=1e-5
+        )
+
     def test_collate_ships_compact_dtypes(self):
         from threedod.config import Config
         from threedod.data.batch import collate

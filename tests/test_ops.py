@@ -217,6 +217,60 @@ class TestWindowedRoiAlign:
         out = np.asarray(multilevel_roi_align_windowed(cf, boxes))
         np.testing.assert_allclose(out, 2.5, atol=1e-4)
 
+    def test_window_bump_rate(self):
+        """Quantify the WINDOW_Y=32 level bump vs canonical Detectron2
+        assignment (ADVICE r1: the 30-cell tap budget bumps moderately
+        elongated ROIs one level coarser than the 46-cell budget did).
+
+        On a realistic box distribution (log-uniform scale 20-400 px,
+        aspect up to 3) the bumped fraction must stay small, and ROIs with
+        aspect <= 1.15 must never bump (sqrt(area) < 28 cells implies max
+        extent <= 28 * sqrt(1.15) < 30)."""
+        from threedod.ops.roi_align import assign_fpn_levels
+        from threedod.ops.roi_align_pallas import WINDOW_Y
+
+        rng = np.random.RandomState(7)
+        n = 5000
+        ctr = rng.rand(n, 2) * np.array([672, 512])
+        side = np.exp(rng.uniform(np.log(20), np.log(400), (n, 1)))
+        # w/h = ar^2, so cap true aspect at 3
+        ar = np.exp(rng.uniform(-np.log(3.0), np.log(3.0), (n, 1)) / 2)
+        wh = np.concatenate([side * ar, side / ar], 1)
+        boxes = jnp.asarray(
+            np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+        )
+        canonical = np.asarray(assign_fpn_levels(boxes, 2, 6))
+        ext = np.maximum(wh[:, 0], wh[:, 1]).ravel()
+        need = np.ceil(np.log2(np.maximum(ext / 4.0 / (WINDOW_Y - 2), 1e-6)))
+        bumped = np.maximum(canonical, np.clip(need, 0, 4).astype(int) + 2)
+        frac = (bumped != canonical).mean()
+        assert frac < 0.25, frac  # measured 0.176 at aspect<=3
+        sq = (ar.ravel() <= np.sqrt(1.15)) & (ar.ravel() >= 1 / np.sqrt(1.15))
+        assert (bumped[sq] == canonical[sq]).all()
+        # never bumps more than one level on this distribution
+        assert (bumped - canonical).max() <= 1
+
+    def test_tpu_fallback_shares_bump_rule(self):
+        """multilevel_roi_align_tpu's c%128 fallback must assign the same
+        levels as the Pallas kernel would (window=WINDOW_Y), not the old
+        48-cell budget."""
+        from threedod.ops.roi_align import multilevel_roi_align_windowed
+        from threedod.ops.roi_align_pallas import WINDOW_Y, multilevel_roi_align_tpu
+
+        t = TestWindowedRoiAlign()
+        feats, _ = t._feats_boxes()
+        # elongated ROI in the bump gap (extent in (30, 46] cells at p2):
+        # 160 px wide = 40 cells
+        boxes = jnp.asarray([[100.0, 100.0, 260.0, 148.0]], jnp.float32)
+        a = np.asarray(multilevel_roi_align_tpu(feats, boxes))
+        b = np.asarray(
+            multilevel_roi_align_windowed(feats, boxes, window=WINDOW_Y)
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        # and it genuinely differs from the old 48 budget (level changed)
+        c = np.asarray(multilevel_roi_align_windowed(feats, boxes, window=48))
+        assert np.abs(a - c).max() > 1e-3
+
     def test_tiny_feature_maps(self):
         """Maps smaller than the window (tiny test canvases) must not crash."""
         from threedod.ops.roi_align import multilevel_roi_align_windowed

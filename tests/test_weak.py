@@ -70,6 +70,32 @@ class TestWeakLossPrimitives:
         assert abs(float(masked_quantile(vals, mask, 0.5)) - 24.0) <= 1.0
         assert abs(float(masked_quantile(vals, mask, 0.9)) - 44.0) <= 1.0
 
+    def test_box_window_masks_out_of_image(self):
+        # a box extending past the right/bottom edge: out-of-image samples
+        # must be masked, not clipped onto the border (which would bias
+        # quantiles toward the border value for truncated objects)
+        from threedod.models.weak_heads import _box_window
+
+        img = jnp.arange(64.0).reshape(8, 8)
+        box = jnp.asarray([4.0, 4.0, 12.0, 12.0])  # half outside
+        win, valid = _box_window(img, box, s=8)
+        assert win.shape == (8, 8) and valid.shape == (8, 8)
+        v = np.asarray(valid)
+        # the in-image quadrant is valid, the rest is not
+        assert v[:4, :4].all()
+        assert not v[4:, :].any() and not v[:, 4:].any()
+        # masked median over the valid region uses only in-image values
+        med = float(masked_quantile(win, valid, 0.5))
+        in_img = np.asarray(win)[v]
+        assert in_img.min() <= med <= in_img.max()
+
+    def test_box_window_fully_inside(self):
+        from threedod.models.weak_heads import _box_window
+
+        img = jnp.arange(64.0).reshape(8, 8)
+        win, valid = _box_window(img, jnp.asarray([1.0, 1.0, 6.0, 6.0]), s=8)
+        assert bool(valid.all())
+
 
 def weak_cfg():
     cfg = Config()

@@ -59,16 +59,27 @@ class Batch:
         return self.image.shape[0]
 
 
-def normalize_image(image, model_cfg):
+def normalize_image(image, model_cfg, image_hw=None):
     """Device-side (x - pixel_mean) / pixel_std for uint8 loader batches.
 
     Float inputs are assumed already normalised (tests/benches construct
-    them directly); uint8 is the loader's compact wire format.
+    them directly); uint8 is the loader's compact wire format. When
+    `image_hw` (B, 2) is given, the canvas region beyond each image's valid
+    extent is zeroed *after* normalization — matching the reference's
+    Detectron2 order (normalize then zero-pad via ImageList,
+    rcnn3d.py:50 preprocess_image) and the direct-float path, where padding
+    is zero in normalized space.
     """
     if image.dtype == jnp.uint8:
         mean = jnp.asarray(model_cfg.pixel_mean, jnp.float32)
         std = jnp.asarray(model_cfg.pixel_std, jnp.float32)
-        return (image.astype(jnp.float32) - mean) / std
+        out = (image.astype(jnp.float32) - mean) / std
+        if image_hw is not None:
+            h, w = image.shape[1], image.shape[2]
+            rows = jnp.arange(h)[None, :, None] < image_hw[:, 0, None, None]
+            cols = jnp.arange(w)[None, None, :] < image_hw[:, 1, None, None]
+            out = out * (rows & cols)[..., None]
+        return out
     return image
 
 

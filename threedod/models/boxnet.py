@@ -50,7 +50,7 @@ class BoxNet(nn.Module):
         roi_heads.py:155-196).
         """
         c = self.cfg
-        feats = self.backbone(normalize_image(batch.image, c.model), train=False)
+        feats = self.backbone(normalize_image(batch.image, c.model, batch.image_hw), train=False)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s

@@ -34,30 +34,49 @@ from .deformable import MSDeformAttn
 from .swin import SwinT
 
 
-def sine_pos_embed_2d(h: int, w: int, dim: int = 256, temperature: float = 10000.0):
-    """(H*W, dim) sine-cosine positional embedding (DETR convention)."""
-    ys, xs = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
-    ys = ys / h * 2 * math.pi
-    xs = xs / w * 2 * math.pi
-    num = dim // 4
-    t = temperature ** (2 * np.arange(num) / (dim // 2))
-    ye = ys[..., None] / t
-    xe = xs[..., None] / t
-    emb = np.concatenate(
-        [np.sin(ye), np.cos(ye), np.sin(xe), np.cos(xe)], axis=-1
-    ).reshape(h * w, -1)
-    return jnp.asarray(emb.astype(np.float32))
+def _interleaved_sincos(pos, num, temperature):
+    """Official DETR/DINO interleave: dim_t = T^(2*(i//2)/num); out[2k] =
+    sin(p/t_{2k}), out[2k+1] = cos(p/t_{2k+1}) with t_{2k} == t_{2k+1}
+    (torch: stack((p[0::2].sin(), p[1::2].cos()), -1).flatten(-2))."""
+    i = np.arange(num)
+    t = temperature ** (2 * (i // 2) / num)
+    p = pos[..., None] / t  # (..., num)
+    emb = jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1)
+    return emb.reshape(pos.shape + (num,))
+
+
+def sine_pos_embed_2d(h: int, w: int, dim: int = 256, temperature: float = 20.0):
+    """(H*W, dim) positional embedding matching the official
+    PositionEmbeddingSineHW (GroundingDINO backbone/position_encoding.py):
+    1-based cumsum coordinates normalized by the image extent, temperature
+    20 (the swinT_OGC config's temperatureH/W), interleaved sin/cos per
+    frequency, concatenated (y-block, x-block)."""
+    eps = 1e-6
+    scale = 2 * math.pi
+    ys, xs = np.meshgrid(
+        np.arange(1, h + 1, dtype=np.float64),
+        np.arange(1, w + 1, dtype=np.float64),
+        indexing="ij",
+    )
+    ys = ys / (h + eps) * scale
+    xs = xs / (w + eps) * scale
+    num = dim // 2
+    ye = _interleaved_sincos(jnp.asarray(ys, jnp.float32), num, temperature)
+    xe = _interleaved_sincos(jnp.asarray(xs, jnp.float32), num, temperature)
+    return jnp.concatenate([ye, xe], axis=-1).reshape(h * w, dim)
 
 
 def sine_pos_embed_boxes(boxes: jnp.ndarray, dim: int = 256, temperature: float = 10000.0):
-    """(..., 4) cxcywh in [0,1] -> (..., 2*dim) sine embedding (cx, cy, w, h)."""
+    """(..., 4) cxcywh in [0,1] -> (..., 2*dim) sine embedding in the
+    official gen_sineembed_for_position coordinate order (y, x, w, h)
+    (GroundingDINO transformer utils; DINO lineage), interleaved sin/cos."""
     scale = 2 * math.pi
     num = dim // 2
-    t = temperature ** (2 * (jnp.arange(num) // 2) / num)
-    x = boxes[..., None] * scale / t  # (..., 4, num)
-    emb = jnp.stack([jnp.sin(x[..., 0::2]), jnp.cos(x[..., 1::2])], axis=-1)
-    emb = emb.reshape(boxes.shape[:-1] + (4 * num,))
-    return emb[..., : 2 * dim]
+    cx = _interleaved_sincos(boxes[..., 0] * scale, num, temperature)
+    cy = _interleaved_sincos(boxes[..., 1] * scale, num, temperature)
+    w = _interleaved_sincos(boxes[..., 2] * scale, num, temperature)
+    h = _interleaved_sincos(boxes[..., 3] * scale, num, temperature)
+    return jnp.concatenate([cy, cx, w, h], axis=-1)
 
 
 def inverse_sigmoid(x, eps=1e-5):

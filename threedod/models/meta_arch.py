@@ -37,7 +37,7 @@ class RCNN3D(nn.Module):
 
     def __call__(self, batch: Batch, train: bool = False, oracle: bool = False):
         c = self.cfg
-        feats = self.backbone(normalize_image(batch.image, c.model), train=train)
+        feats = self.backbone(normalize_image(batch.image, c.model, batch.image_hw), train=train)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s

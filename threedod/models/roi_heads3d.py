@@ -20,6 +20,7 @@ on a compact (B, Ffg) block; all losses are masked means.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -172,7 +173,13 @@ class ROIHeads3D(nn.Module):
         if pallas_roi_align_available():
             from ..ops.roi_align_pallas import multilevel_roi_align_tpu as pool_fn
         else:
-            pool_fn = multilevel_roi_align_windowed
+            # share the Pallas kernel's WINDOW_Y fit budget so CPU tests
+            # exercise the exact level-bump rule the TPU path uses
+            from ..ops.roi_align_pallas import WINDOW_Y
+
+            pool_fn = functools.partial(
+                multilevel_roi_align_windowed, window=WINDOW_Y
+            )
 
         # pool in the model compute dtype (features are bf16-born when
         # model.dtype is bf16 — the f32 cast adds no information, but doubles

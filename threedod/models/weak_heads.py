@@ -143,7 +143,9 @@ BOX_SAMPLE_GRID = 32  # per-ROI quantile window (see _box_window)
 
 
 def _box_window(img, box, s=BOX_SAMPLE_GRID):
-    """(s, s) nearest-pixel samples on a uniform grid spanning `box`.
+    """(s, s) nearest-pixel samples on a uniform grid spanning `box`,
+    plus the (s, s) bool mask of samples whose *unclipped* coordinates fall
+    inside the image.
 
     Per-ROI quantiles over image regions would otherwise sort the full
     image once per ROI (N sorts of H*W — ~100 ms/step at train shapes);
@@ -151,15 +153,20 @@ def _box_window(img, box, s=BOX_SAMPLE_GRID):
     interpolation) and shrinks each sort to s². For boxes larger than
     s x s pixels this subsamples the region — the same spirit as the
     reference's stride-2 subsampling (roi_heads.py:1216-1218), one level
-    coarser; quantiles agree to within sampling noise.
+    coarser; quantiles agree to within sampling noise. For boxes extending
+    beyond the image, the reference intersects box with image; callers must
+    AND the returned mask into their quantile mask — otherwise clipped
+    out-of-image samples pile duplicates on the border row/col and bias
+    the quantiles for truncated objects.
     """
     h, w = img.shape
     t = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
     ys = box[1] + t * jnp.maximum(box[3] - box[1], 1.0)
     xs = box[0] + t * jnp.maximum(box[2] - box[0], 1.0)
+    valid = ((ys >= 0) & (ys < h))[:, None] & ((xs >= 0) & (xs < w))[None, :]
     yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
     xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
-    return img[yi[:, None], xi[None, :]]
+    return img[yi[:, None], xi[None, :]], valid
 
 
 class ROIHeads3DScore(ROIHeads3D):
@@ -262,8 +269,8 @@ class ROIHeads3DScore(ROIHeads3D):
             ds = depth_maps[:, ::2, ::2]
 
             def box_median(img_idx, box):
-                win = _box_window(ds[img_idx], box / 2.0)
-                return masked_quantile(win, jnp.ones_like(win, bool), 0.5)
+                win, vm = _box_window(ds[img_idx], box / 2.0)
+                return masked_quantile(win, vm, 0.5)
 
             img_idx = jnp.repeat(jnp.arange(b), f)
             boxes_cl = jnp.stack(
@@ -329,11 +336,12 @@ class ROIHeads3DScore(ROIHeads3D):
                 mask_scale = jnp.asarray([wm / w, hm / h, wm / w, hm / h])
 
                 def range_of(img_i, gt_i, box):
-                    dwin = _box_window(ds[img_i], box / 2.0)
-                    mwin = _box_window(gt_masks[img_i, gt_i].astype(jnp.float32), box * mask_scale) > 0.5
-                    q9 = masked_quantile(dwin, mwin, 0.9)
-                    q1 = masked_quantile(dwin, mwin, 0.1)
-                    return jnp.where(jnp.any(mwin), q9 - q1, 0.0)
+                    dwin, dvm = _box_window(ds[img_i], box / 2.0)
+                    mwin, _ = _box_window(gt_masks[img_i, gt_i].astype(jnp.float32), box * mask_scale)
+                    sel = (mwin > 0.5) & dvm
+                    q9 = masked_quantile(dwin, sel, 0.9)
+                    q1 = masked_quantile(dwin, sel, 0.1)
+                    return jnp.where(jnp.any(sel), q9 - q1, 0.0)
 
                 gt_range = jax.vmap(range_of)(
                     img_idx, sampled.gt_index.reshape(-1), gt_boxes
@@ -341,9 +349,8 @@ class ROIHeads3DScore(ROIHeads3D):
             else:
 
                 def range_of(img_i, box):
-                    dwin = _box_window(ds[img_i], box / 2.0)
-                    ones = jnp.ones_like(dwin, bool)
-                    return masked_quantile(dwin, ones, 0.9) - masked_quantile(dwin, ones, 0.1)
+                    dwin, dvm = _box_window(ds[img_i], box / 2.0)
+                    return masked_quantile(dwin, dvm, 0.9) - masked_quantile(dwin, dvm, 0.1)
 
                 gt_range = jax.vmap(range_of)(img_idx, gt_boxes)
             per_loss["loss_depth"] = (

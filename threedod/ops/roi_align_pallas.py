@@ -19,8 +19,10 @@ multilevel_roi_align_windowed) cut that to ~50 ms but still round-trips the
        outside).
 
 Traffic = windows read once + outputs written once — no intermediates.
-Semantics identical to multilevel_roi_align_windowed (same Ay/Ax weights,
-same level bump for extreme-aspect ROIs); parity-tested against it.
+Semantics identical to multilevel_roi_align_windowed *at the same window
+budget* (same Ay/Ax weights, same level-bump rule — the fallback in
+multilevel_roi_align_tpu is invoked with window=WINDOW_Y so the two paths
+assign identical levels); parity-tested against it.
 """
 from __future__ import annotations
 
@@ -35,10 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .roi_align import assign_fpn_levels
 
 WINDOW_Y = 32        # rows per ROI window. Canonical FPN assignment
-                     # (floor(k0+log2(sqrt(area)/224))) bounds per-level ROI
-                     # extent to <28 cells, so a 30-cell tap budget (32 - 2
-                     # taps) is exact for every canonically-assigned ROI;
-                     # only extreme-aspect ROIs take the level bump below.
+                     # (floor(k0+log2(sqrt(area)/224))) bounds sqrt(area) to
+                     # <28 cells at the assigned level, but the *max extent*
+                     # of a non-square ROI can exceed the 30-cell tap budget
+                     # (32 - 2 taps): ROIs with aspect > (30/28)^2 ~ 1.15
+                     # near the top of a bucket take the level bump below and
+                     # pool one level coarser than canonical Detectron2
+                     # (tests/test_ops.py::test_window_bump_rate measures the
+                     # affected fraction; docs/DESIGN.md §9 records the
+                     # synth-AP effect).
 WINDOW_X = 48        # cols per ROI window: 32 + 16 slack so the dynamic x
                      # start can be rounded down to the 16-sublane tile
                      # (bf16 tiling; also valid for f32's 8)
@@ -455,7 +462,8 @@ def multilevel_roi_align_tpu(
 
     Falls back to the XLA windowed path when the channel count is not a
     multiple of the 128-lane tile (Mosaic cannot fold the (W, C) window
-    axes into one matmul operand otherwise)."""
+    axes into one matmul operand otherwise). The fallback shares the Pallas
+    kernel's WINDOW_Y fit budget so both paths apply one level-bump rule."""
     if strides is None:
         strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
     c = next(iter(features.values())).shape[-1]
@@ -463,7 +471,8 @@ def multilevel_roi_align_tpu(
         from .roi_align import multilevel_roi_align_windowed
 
         return multilevel_roi_align_windowed(
-            features, boxes, output_size, strides, sampling_ratio
+            features, boxes, output_size, strides, sampling_ratio,
+            window=WINDOW_Y,
         )
     pool = _make_pooler(output_size, tuple(sorted(strides.items())), sampling_ratio)
     return pool(features, boxes)

@@ -100,26 +100,15 @@ def do_test(cfg, model, variables, meta, storage=None, iteration=0):
     return helper.summarize_all()
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config-file", required=True)
-    ap.add_argument("--eval-only", action="store_true")
-    ap.add_argument("--resume", action="store_true")
-    ap.add_argument("opts", nargs=argparse.REMAINDER, default=[])
-    args = ap.parse_args()
+def fresh_state(cfg, trainer, sample, key):
+    """init_state + ImageNet-trunk / weights_pretrain loading, as one unit.
 
-    cfg, meta, priors = setup(args)
-    model = build_model(cfg, priors=priors)
-    mesh = make_mesh_for_batch(cfg.solver.ims_per_batch)
-    trainer = Trainer(cfg, model, mesh=mesh)
-
-    train_dicts = get_dataset_dicts(cfg.datasets.train)
-    # weak Cube R-CNN consumes depth/ground maps + precomputed object masks
-    load_maps = cfg.model.meta_architecture == "RCNN3DCombined"
-    loader = TrainLoader(train_dicts, cfg, seed=cfg.seed, load_maps=load_maps)
-    sample = next(iter(loader))
-    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
-    start_iter = 0
+    The reference rebuilds the *whole* model — including pretrained init —
+    on every failed training attempt (train_net.py:456-493), so the retry
+    path must apply the same weight loading as attempt 0, not just re-roll
+    the random init.
+    """
+    state = trainer.init_state(key, sample)
 
     if not cfg.model.weights_pretrain and not cfg.model.weights:
         # ImageNet trunk init (reference `imagenet_pretrain = WEIGHTS_PRETRAIN
@@ -155,6 +144,29 @@ def main():
             batch_stats=jax.tree.map(jnp.asarray, loaded.get("batch_stats", {})),
         )
         logger.info("loaded pretrain weights from %s", cfg.model.weights_pretrain)
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = ap.parse_args()
+
+    cfg, meta, priors = setup(args)
+    model = build_model(cfg, priors=priors)
+    mesh = make_mesh_for_batch(cfg.solver.ims_per_batch)
+    trainer = Trainer(cfg, model, mesh=mesh)
+
+    train_dicts = get_dataset_dicts(cfg.datasets.train)
+    # weak Cube R-CNN consumes depth/ground maps + precomputed object masks
+    load_maps = cfg.model.meta_architecture == "RCNN3DCombined"
+    loader = TrainLoader(train_dicts, cfg, seed=cfg.seed, load_maps=load_maps)
+    sample = next(iter(loader))
+    state = fresh_state(cfg, trainer, sample, jax.random.PRNGKey(cfg.seed))
+    start_iter = 0
 
     ckpt = CheckpointManager(cfg.output_dir, cfg.solver.checkpoint_period, cfg.solver.max_iter)
     if args.resume or args.eval_only:
@@ -190,11 +202,13 @@ def main():
             start_iter = int(restored["iteration"]) + 1
         else:
             # No checkpoint yet: the reference rebuilds the model from
-            # scratch on a failed attempt (train_net.py:456-493). Reusing the
-            # diverged in-memory state would replay NaN parameters forever;
-            # vary the init key per attempt so retries take a new trajectory.
-            state = trainer.init_state(
-                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), attempt), sample
+            # scratch on a failed attempt (train_net.py:456-493) — including
+            # pretrained trunk/pretrain weights. Reusing the diverged
+            # in-memory state would replay NaN parameters forever; vary the
+            # init key per attempt so retries take a new trajectory.
+            state = fresh_state(
+                cfg, trainer, sample,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), attempt),
             )
             start_iter = 0
             logger.info("attempt %d: no checkpoint yet — fresh re-init", attempt)

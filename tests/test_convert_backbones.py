@@ -401,3 +401,46 @@ def test_load_trunk_weights_grafts_into_backbone(tmp_path):
     np.testing.assert_allclose(np.asarray(stem), want, atol=1e-7)
     # FPN params untouched
     assert "fpn" in loaded["params"]["backbone"]
+
+
+# ---------------------------------------------------------------------------
+# block-space (space-to-depth) stem: exact equivalence to the native layout
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["dla34", "dla46_c"])
+def test_dla_fast_stem_equivalence(name):
+    """The b=4 block-space stem (and DLA34's block-layout level2) must
+    compute exactly what the native-layout ConvBN path computes — the block
+    kernels are rearrangements of the same weights, so outputs agree to
+    float32 reassociation noise, in both eval and train modes (including
+    the running-stat updates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from threedod.models.backbones.dla import build_dla
+
+    fast = build_dla(name)
+    import dataclasses
+    slow = dataclasses.replace(build_dla(name), fast_stem=False, parent=None, name=None)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 96, 3), jnp.float32)
+    variables = jax.jit(lambda x: fast.init({"params": jax.random.PRNGKey(0)}, x, train=False))(x)
+
+    # param trees must be identical between the two paths
+    sv = jax.jit(lambda x: slow.init({"params": jax.random.PRNGKey(0)}, x, train=False))(x)
+    assert jax.tree.structure(sv) == jax.tree.structure(variables)
+
+    of = fast.apply(variables, x, train=False)
+    os_ = slow.apply(variables, x, train=False)
+    for k in of:
+        np.testing.assert_allclose(np.asarray(of[k]), np.asarray(os_[k]), atol=2e-4, rtol=1e-4)
+
+    tf, mf = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+    ts, ms = slow.apply(variables, x, train=True, mutable=["batch_stats"])
+    for k in tf:
+        # train-mode normalization amplifies f32 reduction-order noise
+        # through rsqrt(var) of a small batch; stats below stay tight
+        np.testing.assert_allclose(np.asarray(tf[k]), np.asarray(ts[k]), atol=2e-3, rtol=1e-2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=5e-3),
+        mf, ms,
+    )

@@ -297,11 +297,34 @@ class TestPallasRoiAlign:
         from threedod.ops.roi_align import multilevel_roi_align_windowed
         from threedod.ops.roi_align_pallas import multilevel_roi_align_tpu
 
+        from threedod.ops.roi_align_pallas import WINDOW_Y
+
         t = TestWindowedRoiAlign()
         feats, boxes = t._feats_boxes()
-        a = np.asarray(multilevel_roi_align_windowed(feats, boxes))
+        # both paths share the WINDOW_Y fit budget (one level-bump rule)
+        a = np.asarray(multilevel_roi_align_windowed(feats, boxes, window=WINDOW_Y))
         b = np.asarray(multilevel_roi_align_tpu(feats, boxes))
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+        # C=128 actually runs the Pallas kernel (C=8 above takes the XLA
+        # fallback); mix of small-class (<=14-cell) and big-class windows
+        # including image-edge boxes
+        rng = np.random.RandomState(11)
+        feats = {
+            nm: jnp.asarray(rng.randn(128 >> i, 168 >> i, 128).astype(np.float32))
+            for i, nm in enumerate(["p2", "p3", "p4", "p5", "p6"])
+        }
+        n = 97
+        x1 = rng.uniform(-20, 660, n)
+        y1 = rng.uniform(-20, 500, n)
+        w = np.exp(rng.uniform(np.log(4), np.log(500), n))
+        h = np.exp(rng.uniform(np.log(4), np.log(400), n))
+        bx = np.stack([x1, y1, np.minimum(x1 + w, 672), np.minimum(y1 + h, 512)], 1)
+        bx[:3] = [[0, 0, 8, 8], [664, 504, 672, 512], [0, 440, 672, 512]]
+        bx = jnp.asarray(np.clip(bx, 0, None).astype(np.float32))
+        a = np.asarray(multilevel_roi_align_windowed(feats, bx, window=WINDOW_Y))
+        b = np.asarray(multilevel_roi_align_tpu(feats, bx))
+        np.testing.assert_allclose(a, b, atol=1e-4)
 
     def test_tpu_backward_matches_packed_vjp(self):
         """Gradient parity of the Pallas RMW backward vs the packed-gather

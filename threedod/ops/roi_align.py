@@ -236,8 +236,12 @@ def multilevel_roi_align_windowed(
         return jax.lax.dynamic_slice(buf, (lvl, y0, x0, 0), (1, window, window, c))[0]
 
     wins = jax.vmap(slice_one)(assign, y0w, x0w)  # (N, window, window, C)
-    t = jnp.einsum("nsh,nhwc->nswc", ay, wins)  # (N, s, window, C)
-    return jnp.einsum("ntw,nswc->nstc", ax, t)  # (N, s, s, C)
+    # pin full precision for f32 inputs: TPU's default f32 matmul is
+    # bf16-grade (measured 1e-2 abs error vs the exact packed-gather path);
+    # bf16 inputs are already exact in native mode (bf16 mul, f32 acc)
+    prec = None if wins.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    t = jnp.einsum("nsh,nhwc->nswc", ay, wins, precision=prec)  # (N, s, window, C)
+    return jnp.einsum("ntw,nswc->nstc", ax, t, precision=prec)  # (N, s, s, C)
 
 
 def multilevel_roi_align(

@@ -51,6 +51,19 @@ WINDOW_X = 48        # cols per ROI window: 32 + 16 slack so the dynamic x
                      # (bf16 tiling; also valid for f32's 8)
 S_PAD = 8  # output bins padded 7 -> 8 (f32 sublane tile)
 
+# Two window classes. Canonical FPN assignment puts sqrt(area) in [14, 28)
+# cells at the assigned level — EXCEPT on the clamped ends, where p2 absorbs
+# every smaller ROI. Those small ROIs (max extent <= 14 cells -> taps fit in
+# 16 rows / 16+16-slack cols) dominate real detection workloads, and their
+# windows carry 3x fewer bytes (16x32 vs 32x48). The kernel DMAs only the
+# small window for them; the pooling matmul is unchanged because the tap
+# weights beyond the small window are exactly zero (the VMEM scratch is
+# zeroed once at grid start so stale cells can never be NaN/Inf garbage —
+# afterwards stale cells only ever hold finite feature bytes).
+SMALL_Y = 16
+SMALL_X = 32
+SMALL_MAX_CELLS = 14.0
+
 
 def _rois_per_step(itemsize: int) -> int:
     # window scratch: 2 (phases) * R * 32 * 48 * C * itemsize; ~6.3 MB at
@@ -58,15 +71,18 @@ def _rois_per_step(itemsize: int) -> int:
     return 4 if itemsize <= 2 else 2
 
 
-def _kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem):
+def _kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem):
     """One grid step: pool ROIS_PER_STEP ROIs.
 
-    lvl/y0/x0: (N,) int32 in SMEM (scalar prefetch); ay/ax: (R, S_PAD,
+    lvl/y0/x0/cls: (N,) int32 in SMEM (scalar prefetch); ay/ax: (R, S_PAD,
     WINDOW) blocks in VMEM; buf_ref: full (L, H, W, C) in HBM; out block
     (R, S_PAD, S_PAD, C); win scratch (2, R, WINDOW, WINDOW, C) + DMA sems,
     double-buffered across grid steps: step i's compute overlaps step i+1's
     window DMAs (without this the DMA queue drains at every step boundary —
     measured ~475 GB/s vs ~800 GB/s pipelined at the 32x48 window size).
+    Small-class ROIs (cls == 1) DMA only the (SMALL_Y, SMALL_X) corner of
+    their slot; the rest of the slot holds zeros/stale finite values that
+    the pooling matmul multiplies by exactly-zero tap weights.
     """
     r = ay_ref.shape[0]
     c = buf_ref.shape[-1]
@@ -74,7 +90,7 @@ def _kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
     num = pl.num_programs(0)
     phase = jax.lax.rem(i, 2)
 
-    def dma(step, j, ph):
+    def dma_big(step, j, ph):
         roi = step * r + j
         return pltpu.make_async_copy(
             buf_ref.at[
@@ -87,15 +103,53 @@ def _kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
             sem.at[ph, j],
         )
 
+    def dma_small(step, j, ph):
+        roi = step * r + j
+        return pltpu.make_async_copy(
+            buf_ref.at[
+                lvl_ref[roi],
+                pl.ds(y0_ref[roi], SMALL_Y),
+                pl.ds(pl.multiple_of(x0_ref[roi], 16), SMALL_X),
+                :,
+            ],
+            win.at[ph, j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :],
+            sem.at[ph, j],
+        )
+
+    def start(step, j, ph):
+        small = cls_ref[step * r + j] == 1
+
+        @pl.when(small)
+        def _():
+            dma_small(step, j, ph).start()
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            dma_big(step, j, ph).start()
+
+    def wait(step, j, ph):
+        small = cls_ref[step * r + j] == 1
+
+        @pl.when(small)
+        def _():
+            dma_small(step, j, ph).wait()
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            dma_big(step, j, ph).wait()
+
     @pl.when(i == 0)
     def _():
+        # one-time scratch zero so small-window slots never expose garbage
+        # (NaN/Inf bits) to the zero-weight taps of the pooling matmul
+        win[...] = jnp.zeros_like(win)
         for j in range(r):
-            dma(i, j, phase).start()
+            start(i, j, phase)
 
     @pl.when(i + 1 < num)
     def _():
         for j in range(r):
-            dma(i + 1, j, 1 - phase).start()
+            start(i + 1, j, 1 - phase)
 
     # f32 windows would otherwise go through the MXU's default bf16-truncated
     # passes (~1e-2 abs error); bf16 windows are already exact in native mode
@@ -131,7 +185,7 @@ def _kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
         ).astype(dt)
 
     for j in range(r):
-        dma(i, j, phase).wait()
+        wait(i, j, phase)
         w2 = win[phase, j].reshape(hw, c)
         m = expand(row_y, ay_ref[j], col_y) * expand(row_x, ax_ref[j], col_x)
         o = jnp.dot(m, w2, preferred_element_type=jnp.float32, precision=prec)
@@ -199,27 +253,46 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
     sx = x1[:, None] + grid[None, :] * (bw / s)[:, None]
     sy = y1[:, None] + grid[None, :] * (bh / s)[:, None]
 
-    y0w = jnp.clip(jnp.floor(sy[:, 0]).astype(jnp.int32), 0, h0 - WINDOW_Y)
+    # window class: max extent <= 14 cells at the assigned level -> the taps
+    # fit in the (SMALL_Y, SMALL_X) window (span*13/14 + 2 taps <= 16 rows;
+    # x adds <= 15 cells of 16-align slack within the 32 cols)
+    ext_lvl = ext * scale
+    small = (ext_lvl <= SMALL_MAX_CELLS).astype(jnp.int32)
+
+    fy = jnp.floor(sy[:, 0]).astype(jnp.int32)
+    y0w = jnp.where(
+        small == 1,
+        jnp.clip(fy, 0, h0 - SMALL_Y),
+        jnp.clip(fy, 0, h0 - WINDOW_Y),
+    )
     # x origin rounded down to the 16-sublane tile (Mosaic slice constraint
-    # for bf16; also satisfies f32's 8)
-    x0w = jnp.clip(jnp.floor(sx[:, 0]).astype(jnp.int32), 0, w0 - WINDOW_X)
+    # for bf16; also satisfies f32's 8); both clip bounds are 16-aligned
+    fx = jnp.floor(sx[:, 0]).astype(jnp.int32)
+    x0w = jnp.where(
+        small == 1,
+        jnp.clip(fx, 0, w0 - SMALL_X),
+        jnp.clip(fx, 0, w0 - WINDOW_X),
+    )
     x0w = (x0w // 16) * 16
 
     ay = _axis_weights(sy, y0w, lvl_h, n, s, r, WINDOW_Y).astype(dtype)
     ax = _axis_weights(sx, x0w, lvl_w, n, s, r, WINDOW_X).astype(dtype)
 
-    # pad N to the grid multiple (padded ROIs carry zero weights -> no-ops)
+    # pad N to the grid multiple (padded ROIs carry zero weights -> no-ops;
+    # class "small" so they DMA the cheap window)
     n_pad = -(-n // rois_per_step) * rois_per_step
     if n_pad != n:
         pad = n_pad - n
         assign = jnp.pad(assign, (0, pad))
         y0w = jnp.pad(y0w, (0, pad))
         x0w = jnp.pad(x0w, (0, pad))
+        small = jnp.pad(small, (0, pad), constant_values=1)
         ay = jnp.pad(ay, ((0, pad), (0, 0), (0, 0)))
         ax = jnp.pad(ax, ((0, pad), (0, 0), (0, 0)))
     return dict(
         names=names, c=c, h0=h0, w0=w0,
         n=n, n_pad=n_pad, assign=assign, y0w=y0w, x0w=x0w, ay=ay, ax=ax,
+        small=small,
     )
 
 
@@ -243,6 +316,7 @@ def _pallas_forward(
     names, c, h0, w0 = p["names"], p["c"], p["h0"], p["w0"]
     n, n_pad = p["n"], p["n_pad"]
     assign, y0w, x0w, ay, ax = p["assign"], p["y0w"], p["x0w"], p["ay"], p["ax"]
+    small = p["small"]
     s = output_size
 
     buf = jnp.zeros((len(names), h0, w0, c), dtype)
@@ -251,7 +325,7 @@ def _pallas_forward(
         buf = buf.at[i, :h, :w].set(features[nm])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_pad // rois_per_step,),
         in_specs=[
             pl.BlockSpec(
@@ -290,11 +364,11 @@ def _pallas_forward(
             bytes_accessed=n_pad * WINDOW_Y * WINDOW_X * c * itemsize,
             transcendentals=0,
         ),
-    )(assign, y0w, x0w, ay, ax, buf)
+    )(assign, y0w, x0w, small, ay, ax, buf)
     return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
 
 
-def _bwd_kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
+def _bwd_kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
     del dbuf_in  # aliased to dbuf_ref (the output) — all access goes there
     """Backward: accumulate dwin = Mᵀ·g into the stacked f32 grad buffer.
 
@@ -303,6 +377,8 @@ def _bwd_kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_re
     each write completes before the next read is issued). The Mᵀ factor is
     built like the forward's M but transposed-by-construction — selector
     matmuls with (hw, WINDOW)/(S_PAD, ss) iota masks, no relayouts.
+    Small-class ROIs read-modify-write only the (SMALL_Y, SMALL_X) corner
+    (their dwin is exactly zero elsewhere — the tap weights are zero).
     """
     r = ay_ref.shape[0]
     c = g_ref.shape[-1]
@@ -338,21 +414,45 @@ def _bwd_kernel(lvl_ref, y0_ref, x0_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_re
 
     def rmw(j):
         roi = base + j
-        dst = dbuf_ref.at[
-            lvl_ref[roi],
-            pl.ds(y0_ref[roi], WINDOW_Y),
-            pl.ds(pl.multiple_of(x0_ref[roi], 16), WINDOW_X),
-            :,
-        ]
-        rd = pltpu.make_async_copy(dst, win.at[j], rsem.at[j])
-        rd.start()
+        small = cls_ref[roi] == 1
+
+        def dst(wy, wx):
+            return dbuf_ref.at[
+                lvl_ref[roi],
+                pl.ds(y0_ref[roi], wy),
+                pl.ds(pl.multiple_of(x0_ref[roi], 16), wx),
+                :,
+            ]
+
         mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
-        dwin = jnp.dot(mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec)
-        rd.wait()
-        win[j] = win[j] + dwin.reshape(WINDOW_Y, WINDOW_X, c)
-        wr = pltpu.make_async_copy(win.at[j], dst, wsem.at[j])
-        wr.start()
-        wr.wait()  # overlap hazard: the next ROI may read this window
+
+        @pl.when(small)
+        def _():
+            d = dst(SMALL_Y, SMALL_X)
+            sl = win.at[j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :]
+            rd = pltpu.make_async_copy(d, sl, rsem.at[j])
+            rd.start()
+            dwin = jnp.dot(mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec)
+            rd.wait()
+            win[j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :] = (
+                win[j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :]
+                + dwin.reshape(WINDOW_Y, WINDOW_X, c)[:SMALL_Y, :SMALL_X]
+            )
+            wr = pltpu.make_async_copy(sl, d, wsem.at[j])
+            wr.start()
+            wr.wait()  # overlap hazard: the next ROI may read this window
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            d = dst(WINDOW_Y, WINDOW_X)
+            rd = pltpu.make_async_copy(d, win.at[j], rsem.at[j])
+            rd.start()
+            dwin = jnp.dot(mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec)
+            rd.wait()
+            win[j] = win[j] + dwin.reshape(WINDOW_Y, WINDOW_X, c)
+            wr = pltpu.make_async_copy(win.at[j], d, wsem.at[j])
+            wr.start()
+            wr.wait()  # overlap hazard: the next ROI may read this window
 
     for j in range(r):
         rmw(j)
@@ -367,6 +467,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     names, c, h0, w0 = p["names"], p["c"], p["h0"], p["w0"]
     n, n_pad = p["n"], p["n_pad"]
     assign, y0w, x0w, ay, ax = p["assign"], p["y0w"], p["x0w"], p["ay"], p["ax"]
+    small = p["small"]
     s = output_size
 
     # cotangent rows (sy, sx) padded to (S_PAD^2, C), f32
@@ -377,7 +478,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     dbuf = jnp.zeros((len(names), h0, w0, c), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_pad // rois_per_step,),
         in_specs=[
             pl.BlockSpec(
@@ -405,15 +506,15 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dbuf.shape, jnp.float32),
-        # operand index counts the scalar-prefetch args first (3 scalars +
-        # ay, ax, g, dbuf -> dbuf is operand 6)
-        input_output_aliases={6: 0},
+        # operand index counts the scalar-prefetch args first (4 scalars +
+        # ay, ax, g, dbuf -> dbuf is operand 7)
+        input_output_aliases={7: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * WINDOW_X * c,
             bytes_accessed=2 * n_pad * WINDOW_Y * WINDOW_X * c * 4,
             transcendentals=0,
         ),
-    )(assign, y0w, x0w, ay, ax, gp, dbuf)
+    )(assign, y0w, x0w, small, ay, ax, gp, dbuf)
 
     dfeat = {}
     for i, nm in enumerate(names):

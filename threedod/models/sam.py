@@ -413,7 +413,11 @@ class Sam(nn.Module):
         sparse = self.prompt_encoder.encode_boxes(boxes)
         dense_pe = self.prompt_encoder.dense_pe()
         n = boxes.shape[0]
-        img = jnp.broadcast_to(image_embed, (n,) + image_embed.shape[1:])
+        # src = image_embeddings + dense prompt embeddings; with no mask
+        # prompt the dense embedding is no_mask_embed broadcast over the grid
+        # (official mask_decoder.predict_masks / prompt_encoder forward)
+        img = image_embed + self.prompt_encoder.no_mask_embed[0]
+        img = jnp.broadcast_to(img, (n,) + image_embed.shape[1:])
         masks, iou_pred = self.mask_decoder(img, dense_pe, sparse)
         if multimask_output:
             best = jnp.argmax(iou_pred[:, 1:], axis=1) + 1

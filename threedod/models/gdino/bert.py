@@ -23,7 +23,8 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        # x: (B, L, D); mask: (B, L) bool
+        # x: (B, L, D); mask: (B, L) bool padding mask, or (B, L, L) bool
+        # pairwise mask (official per-phrase text_self_attention_masks)
         b, l, d = x.shape
         h = self.heads
         q = nn.Dense(d, dtype=self.dtype, name="q")(x)
@@ -34,7 +35,8 @@ class BertLayer(nn.Module):
             return t.reshape(b, l, h, d // h).transpose(0, 2, 1, 3)
 
         attn = (split(q) @ split(k).transpose(0, 1, 3, 2)) * (d // h) ** -0.5
-        attn = jnp.where(mask[:, None, None, :], attn, -1e9)
+        pair = mask[:, None, :, :] if mask.ndim == 3 else mask[:, None, None, :]
+        attn = jnp.where(pair, attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
         out = (attn @ split(v)).transpose(0, 2, 1, 3).reshape(b, l, d)
         out = nn.Dense(d, dtype=self.dtype, name="attn_out")(out)
@@ -57,12 +59,17 @@ class BertEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, token_ids, mask, token_type_ids=None):
-        # token_ids/mask: (B, L)
+    def __call__(self, token_ids, mask, token_type_ids=None, position_ids=None):
+        # token_ids: (B, L); mask: (B, L) padding or (B, L, L) pairwise
+        # (official GroundingDINO feeds BERT the per-phrase self-attention
+        # mask and per-phrase position ids from
+        # generate_masks_with_special_tokens_and_transfer_map)
         b, l = token_ids.shape
         word = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype, name="word_embeddings")(token_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(l), (b, l))
         pos = nn.Embed(self.max_len, self.dim, dtype=self.dtype, name="position_embeddings")(
-            jnp.broadcast_to(jnp.arange(l), (b, l))
+            position_ids
         )
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(token_ids)

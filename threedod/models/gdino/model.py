@@ -104,7 +104,8 @@ class MHA(nn.Module):
 
         attn = (split(qq) @ split(kk).transpose(0, 1, 3, 2)) * (d // h) ** -0.5
         if mask is not None:
-            attn = jnp.where(mask[:, None, None, :], attn, -1e9)
+            pair = mask[:, None, :, :] if mask.ndim == 3 else mask[:, None, None, :]
+            attn = jnp.where(pair, attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
         out = (attn @ split(vv)).transpose(0, 2, 1, 3).reshape(b, lq, d)
         return nn.Dense(d, dtype=self.dtype, name="out")(out)
@@ -147,7 +148,10 @@ class BiAttentionBlock(nn.Module):
         dt = nn.Dense(self.dim, dtype=self.dtype, name="out_l_proj")(dt)
         gv = self.param("gamma_v", nn.initializers.constant(1e-4), (self.dim,))
         gl = self.param("gamma_l", nn.initializers.constant(1e-4), (self.dim,))
-        return vis + gv * dv, txt + gl * dt
+        # official BiAttentionBlock residuals onto the NORMALIZED features
+        # (v = LN(v); v = v + gamma*delta) — a GLIP lineage quirk, verified
+        # against transformers.GroundingDinoFusionLayer
+        return v + gv * dv, t + gl * dt
 
 
 class FFN(nn.Module):
@@ -172,12 +176,18 @@ class EnhancerLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, vis, txt, txt_mask, vis_pos, ref_points, spatial_shapes):
+    def __call__(self, vis, txt, txt_mask, vis_pos, ref_points, spatial_shapes,
+                 txt_pos=None, txt_self_mask=None):
         vis, txt = BiAttentionBlock(self.dim, dtype=self.dtype, name="fusion")(
             vis, txt, txt_mask
         )
-        # text self-attention (text enhancer)
-        t = MHA(self.dim, 4, dtype=self.dtype, name="text_attn")(txt, txt, txt, txt_mask)
+        # text self-attention (text enhancer): official adds the sine
+        # embedding of the per-phrase position ids to q/k, and masks
+        # attention to the token's own phrase (text_self_attention_masks)
+        tq = txt if txt_pos is None else txt + txt_pos
+        t = MHA(self.dim, 4, dtype=self.dtype, name="text_attn")(
+            tq, tq, txt, txt_self_mask if txt_self_mask is not None else txt_mask
+        )
         txt = nn.LayerNorm(dtype=jnp.float32, name="text_norm")(txt + t).astype(self.dtype)
         txt = FFN(self.dim, 1024, dtype=self.dtype, name="text_ffn")(txt)
         # image deformable self-attention
@@ -235,14 +245,35 @@ class GroundingDINO(nn.Module):
     enc_layers: int = 6
     dec_layers: int = 6
     levels: int = 4
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    bert_layers: int = 12
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image, token_ids, token_mask, train: bool = False):
+    def __call__(self, image, token_ids, token_mask, train: bool = False,
+                 text_self_mask=None, position_ids=None):
+        """text_self_mask (B, Lt, Lt) / position_ids (B, Lt): the official
+        per-phrase text masks and positions from
+        generate_masks_with_special_tokens_and_transfer_map (host helper
+        generate_text_masks below); default to padding mask / arange."""
         # ---- backbones
-        feats = SwinT(dtype=self.dtype, name="backbone")(image, train=train)
-        txt = BertEncoder(dtype=self.dtype, name="bert")(token_ids, token_mask)
+        feats = SwinT(depths=self.swin_depths, dtype=self.dtype, name="backbone")(image, train=train)
+        txt = BertEncoder(layers=self.bert_layers, dtype=self.dtype, name="bert")(
+            token_ids,
+            text_self_mask if text_self_mask is not None else token_mask,
+            position_ids=position_ids,
+        )
         txt = nn.Dense(self.dim, dtype=self.dtype, name="feat_map")(txt)
+        # text position embedding for the enhancer self-attn (official
+        # get_sine_pos_embed(position_ids, 256, exchange_xy=False))
+        pos_ids_eff = (
+            position_ids
+            if position_ids is not None
+            else jnp.broadcast_to(jnp.arange(token_ids.shape[1]), token_ids.shape)
+        )
+        txt_pos = _interleaved_sincos(
+            pos_ids_eff.astype(jnp.float32) * 2 * math.pi, self.dim, 10000.0
+        ).astype(self.dtype)
 
         # ---- multi-scale projections (1x1 + GN; extra stride-2 level)
         srcs = []
@@ -252,8 +283,10 @@ class GroundingDINO(nn.Module):
             s = nn.GroupNorm(32, dtype=jnp.float32, name=f"input_gn{i}")(s).astype(self.dtype)
             shapes.append((s.shape[1], s.shape[2]))
             srcs.append(s.reshape(s.shape[0], -1, self.dim))
+        # explicit (1,1) padding: torch Conv2d(k=3,s=2,p=1) semantics — XLA
+        # "SAME" pads (0,1) on even extents, shifting every tap by one
         extra = nn.Conv(
-            self.dim, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype, name="input_proj3"
+            self.dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="input_proj3"
         )(feats["p5"])
         extra = nn.GroupNorm(32, dtype=jnp.float32, name="input_gn3")(extra).astype(self.dtype)
         shapes.append((extra.shape[1], extra.shape[2]))
@@ -261,6 +294,8 @@ class GroundingDINO(nn.Module):
 
         b = image.shape[0]
         vis = jnp.concatenate(srcs, axis=1)  # (B, S, C)
+        self.sow("intermediates", "vis_in", vis)
+        self.sow("intermediates", "txt_in", txt)
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (self.levels, self.dim)
         )
@@ -288,7 +323,11 @@ class GroundingDINO(nn.Module):
         for i in range(self.enc_layers):
             vis, txt = EnhancerLayer(
                 self.dim, self.levels, dtype=self.dtype, name=f"enc{i}"
-            )(vis, txt, token_mask, pos, ref_pts, shapes)
+            )(vis, txt, token_mask, pos, ref_pts, shapes,
+              txt_pos=txt_pos, txt_self_mask=text_self_mask)
+
+        self.sow("intermediates", "vis_enc", vis)
+        self.sow("intermediates", "txt_enc", txt)
 
         # ---- language-guided query selection
         mem = nn.Dense(self.dim, dtype=self.dtype, name="enc_output")(vis)
@@ -300,10 +339,14 @@ class GroundingDINO(nn.Module):
         _, top_idx = jax.lax.top_k(score, k)  # (B, Q)
 
         enc_delta = BoxMLP(self.dim, dtype=self.dtype, name="enc_bbox")(mem)
+        # official generate_encoder_output_proposals: wh = 0.05 * 2^level
+        wh = np.concatenate(
+            [np.full((h * w, 2), 0.05 * 2.0**i, np.float32) for i, (h, w) in enumerate(shapes)]
+        )
         base = jnp.concatenate(
             [
                 jnp.broadcast_to(ref_pts[:, :, 0, :], (b, ref_pts.shape[1], 2)),
-                jnp.full((b, ref_pts.shape[1], 2), 0.1),
+                jnp.broadcast_to(jnp.asarray(wh)[None], (b, ref_pts.shape[1], 2)),
             ],
             axis=-1,
         )
@@ -348,3 +391,34 @@ def best_box_for_prompt(logits, boxes, image_hw):
     cx, cy, bw, bh = best[:, 0] * w, best[:, 1] * h, best[:, 2] * w, best[:, 3] * h
     xyxy = jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1)
     return xyxy, jnp.take_along_axis(score, idx[:, None], axis=1)[:, 0]
+
+
+SPECIAL_TOKEN_IDS = (101, 102, 1012, 1029)  # [CLS], [SEP], '.', '?'
+
+
+def generate_text_masks(token_ids: np.ndarray, special_ids=SPECIAL_TOKEN_IDS):
+    """Host-side replica of the official
+    generate_masks_with_special_tokens_and_transfer_map (GroundingDINO
+    groundingdino/models/GroundingDINO/groundingdino.py): special tokens
+    partition the prompt into phrases; each phrase (including its trailing
+    special token) self-attends, [CLS]/last-token attend only to themselves,
+    and positions restart at 0 per phrase.
+
+    token_ids: (B, L) int -> (self_mask (B, L, L) bool, position_ids (B, L))
+    """
+    token_ids = np.asarray(token_ids)
+    b, l = token_ids.shape
+    special = np.isin(token_ids, np.asarray(special_ids))
+    mask = np.tile(np.eye(l, dtype=bool)[None], (b, 1, 1))
+    pos = np.zeros((b, l), np.int64)
+    for r in range(b):
+        prev = 0
+        for c in np.nonzero(special[r])[0]:
+            if c == 0 or c == l - 1:
+                mask[r, c, c] = True
+                pos[r, c] = 0
+            else:
+                mask[r, prev + 1 : c + 1, prev + 1 : c + 1] = True
+                pos[r, prev + 1 : c + 1] = np.arange(0, c - prev)
+            prev = c
+    return mask, pos

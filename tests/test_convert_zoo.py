@@ -1,0 +1,239 @@
+"""Integrity gate for the Cube R-CNN zoo-checkpoint converter.
+
+Builds a reference-shaped fake `model_final.pth` state dict — the DLA trunk
+comes from the reference's own torch dla.py (exact detectron2
+`backbone.bottom_up.*` naming), the FPN/RPN/ROI/cube-head tensors are
+emitted with the exact d2 GeneralizedRCNN key names and torch layouts by
+inverting the converter's documented mapping from the flax template — then
+converts it and asserts:
+  * every checkpoint key is consumed (a silently-dropped tensor would wreck
+    AP parity when real weights arrive),
+  * the converted tree loads into RCNN3D exactly (same pytree),
+  * a forward pass runs finite and produces detections.
+
+Reference layout: cubercnn zoo checkpoints (model_zoo.py:6-26), d2 naming
+per cubercnn/modeling/{backbone/dla.py:233-330, proposal_generator,
+roi_heads/cube_head.py:56-149}.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from test_convert_backbones import _torch_dla  # reference torch DLA stand-up
+
+from threedod.config import Config
+from threedod.data.batch import Batch
+from threedod.models import build_model
+from threedod.utils.convert_weights import convert_cubercnn_rcnn3d
+
+
+class _TrackedDict(dict):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k in self:
+            self.read.add(k)
+        return super().get(k, default)
+
+    def __contains__(self, k):
+        # membership checks don't count as consumption
+        return super().__contains__(k)
+
+
+def _inv_linear(tree, prefix, out):
+    out[f"{prefix}.weight"] = np.asarray(tree["kernel"]).T.copy()
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"]).copy()
+
+
+def _inv_linear_chw(tree, prefix, res, c, out):
+    k = np.asarray(tree["kernel"])  # (res*res*c, out) in HWC order
+    k = k.reshape(res, res, c, -1).transpose(2, 0, 1, 3).reshape(res * res * c, -1)
+    out[f"{prefix}.weight"] = k.T.copy()
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"]).copy()
+
+
+def _inv_conv(tree, prefix, out):
+    out[f"{prefix}.weight"] = np.asarray(tree["kernel"]).transpose(3, 2, 0, 1).copy()
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"]).copy()
+
+
+@pytest.fixture(scope="module")
+def model_and_fake_ckpt():
+    cfg = Config()
+    cfg.shapes.canvas_height = 128
+    cfg.shapes.canvas_width = 160
+    cfg.shapes.max_detections = 20
+    cfg.model.roi_heads.num_classes = 5
+    cfg.model.backbone = "dla34"
+
+    model = build_model(cfg)
+    B = 1
+    K = np.tile(np.array([[[100.0, 0, 80.0], [0, 100.0, 64.0], [0, 0, 1]]], np.float32), (B, 1, 1))
+    batch = Batch(
+        image=jnp.asarray(np.random.RandomState(0).randn(B, 128, 160, 3).astype(np.float32)),
+        image_hw=jnp.asarray(np.tile([128, 160], (B, 1)).astype(np.int32)),
+        K=jnp.asarray(K),
+        im_scale_ratio=jnp.full((B,), 1.0),
+        image_id=jnp.zeros((B,), jnp.int32),
+    )
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, b, train=False
+        )
+    )(batch)
+
+    rng = np.random.RandomState(7)
+    sd = {}
+    # trunk: the reference's own torch module, exact d2 naming
+    tdla = _torch_dla("dla34")
+    for k, v in tdla.state_dict().items():
+        if k.startswith("fc.") or k.startswith("conv_last"):
+            continue  # classifier head, not part of the detector trunk
+        sd[f"backbone.bottom_up.{k}"] = v.numpy()
+
+    params = variables["params"]
+    for name, tree in params["backbone"]["fpn"].items():
+        kind, lvl = name.split("_p")
+        # random weights (template holds the shapes; values must round-trip)
+        t = {
+            "kernel": rng.randn(*np.shape(tree["kernel"])).astype(np.float32),
+            "bias": rng.randn(*np.shape(tree["bias"])).astype(np.float32),
+        }
+        _inv_conv(t, f"backbone.fpn_{kind}{lvl}", sd)
+    for name in ("conv", "objectness_logits", "anchor_deltas"):
+        tree = params["rpn_head"][name]
+        t = {
+            "kernel": rng.randn(*np.shape(tree["kernel"])).astype(np.float32),
+            "bias": rng.randn(*np.shape(tree["bias"])).astype(np.float32),
+        }
+        _inv_conv(t, f"proposal_generator.rpn_head.{name}", sd)
+
+    res, cfp = 7, 256
+    rh = params["roi_heads"]
+    for name, tree in rh["box_head"].items():
+        t = {
+            "kernel": rng.randn(*np.shape(tree["kernel"])).astype(np.float32),
+            "bias": rng.randn(*np.shape(tree["bias"])).astype(np.float32),
+        }
+        if name == "fc1":
+            _inv_linear_chw(t, f"roi_heads.box_head.{name}", res, cfp, sd)
+        else:
+            _inv_linear(t, f"roi_heads.box_head.{name}", sd)
+    for name in ("cls_score", "bbox_pred"):
+        tree = rh["box_predictor"][name]
+        t = {
+            "kernel": rng.randn(*np.shape(tree["kernel"])).astype(np.float32),
+            "bias": rng.randn(*np.shape(tree["bias"])).astype(np.float32),
+        }
+        _inv_linear(t, f"roi_heads.box_predictor.{name}", sd)
+
+    branch_map = {
+        "shared": "feature_generator",
+        "xy": "feature_generator_XY",
+        "dims": "feature_generator_dims",
+        "pose": "feature_generator_pose",
+        "z": "feature_generator_Z",
+        "conf": "feature_generator_conf",
+    }
+    for name, tree in rh.get("cube_head", {}).items():
+        t = {
+            "kernel": rng.randn(*np.shape(tree["kernel"])).astype(np.float32),
+            "bias": rng.randn(*np.shape(tree["bias"])).astype(np.float32),
+        }
+        if name.startswith("bbox_3D"):
+            _inv_linear(t, f"roi_heads.cube_head.{name}", sd)
+        else:
+            branch, fc = name.rsplit("_", 1)
+            tprefix = f"roi_heads.cube_head.{branch_map[branch]}.{fc}"
+            if fc == "fc1":
+                _inv_linear_chw(t, tprefix, res, cfp, sd)
+            else:
+                _inv_linear(t, tprefix, sd)
+    for prior in ("priors_dims_per_cat", "priors_z_scales", "priors_z_stats"):
+        if prior in rh:
+            sd[f"roi_heads.{prior}"] = rng.rand(*np.shape(rh[prior])).astype(np.float32)
+
+    return model, batch, variables, sd
+
+
+class TestZooConverterGate:
+    def test_every_key_consumed_and_forward_finite(self, model_and_fake_ckpt):
+        model, batch, variables, sd = model_and_fake_ckpt
+        tracked = _TrackedDict(sd)
+        converted = convert_cubercnn_rcnn3d(tracked, variables)
+
+        # the trunk passes through a stripped sub-dict inside the converter;
+        # track its consumption by running convert_dla on a tracked copy
+        from threedod.utils.convert_weights import convert_dla
+
+        trunk_sd = _TrackedDict(
+            {
+                k[len("backbone.bottom_up."):]: v
+                for k, v in sd.items()
+                if k.startswith("backbone.bottom_up.")
+            }
+        )
+        convert_dla(
+            trunk_sd,
+            {
+                "params": variables["params"]["backbone"]["trunk"],
+                "batch_stats": variables["batch_stats"]["backbone"]["trunk"],
+            },
+        )
+        read = tracked.read | {"backbone.bottom_up." + k for k in trunk_sd.read}
+
+        unread = {
+            k for k in sd
+            if k not in read and not k.endswith("num_batches_tracked")
+        }
+        assert not unread, f"converter silently dropped {sorted(unread)[:10]}..."
+
+        # converted tree must load exactly (same structure and shapes)
+        ref = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        assert jax.tree.structure(converted) == jax.tree.structure(ref), (
+            jax.tree.structure(converted), jax.tree.structure(ref))
+        mismatch = jax.tree.map(
+            lambda a, b: np.shape(a) == np.shape(b), converted, ref
+        )
+        assert all(jax.tree.leaves(mismatch))
+
+        det = model.apply(converted, batch, train=False)
+        for leaf in jax.tree.leaves(det):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_values_roundtrip(self, model_and_fake_ckpt):
+        """a tensor placed at a known checkpoint key must land at the right
+        flax leaf with the right layout (spot checks across subsystems)"""
+        model, batch, variables, sd = model_and_fake_ckpt
+        converted = convert_cubercnn_rcnn3d(dict(sd), variables)
+        p = converted["params"]
+        np.testing.assert_allclose(
+            p["rpn_head"]["conv"]["kernel"],
+            sd["proposal_generator.rpn_head.conv.weight"].transpose(2, 3, 1, 0),
+        )
+        np.testing.assert_allclose(
+            p["roi_heads"]["box_predictor"]["cls_score"]["kernel"],
+            sd["roi_heads.box_predictor.cls_score.weight"].T,
+        )
+        np.testing.assert_allclose(
+            p["backbone"]["trunk"]["base_layer"]["conv"]["kernel"],
+            sd["backbone.bottom_up.base_layer.0.weight"].transpose(2, 3, 1, 0),
+        )
+        np.testing.assert_allclose(
+            converted["batch_stats"]["backbone"]["trunk"]["base_layer"]["bn"]["mean"],
+            sd["backbone.bottom_up.base_layer.1.running_mean"],
+        )

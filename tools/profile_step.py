@@ -80,17 +80,28 @@ def main():
             jax.device_get(jnp.asarray(x).sum())
         print(f"trace written to {args.out}")
     except Exception as e:  # device tracing can be unsupported over relays
-        print(f"device trace unavailable ({type(e).__name__}: {e}); "
-              "falling back to host-side timing")
-        import time
+        print(f"device trace unavailable ({type(e).__name__}: {e})")
 
+    # chained-scalar wall timing (difference of two counts — see bench.py)
+    import time
+
+    def run(k):
+        nonlocal state
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, x = one(state, i + 1)
-        jax.device_get(jnp.asarray(x).sum())
-        dt = (time.perf_counter() - t0) / args.steps
-        print(f"{args.mode}: {dt * 1000:.1f} ms/step "
-              f"({cfg.solver.ims_per_batch / dt:.1f} im/s)")
+        s = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            state, x = one(state, i + 100)
+            s = s + jnp.asarray(x).sum().astype(jnp.float32)
+        jax.device_get(s)
+        return time.perf_counter() - t0
+
+    run(2)
+    short = max(2, args.steps // 5)
+    d_s = run(short)
+    d_l = run(args.steps)
+    dt = (d_l - d_s) / (args.steps - short)
+    print(f"{args.mode}: {dt * 1000:.1f} ms/step "
+          f"({cfg.solver.ims_per_batch / dt:.1f} im/s)")
 
 
 if __name__ == "__main__":

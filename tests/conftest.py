@@ -21,6 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process spawns, big fixtures)"
+    )
+
+
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", "tests must run on the CPU platform"
     assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

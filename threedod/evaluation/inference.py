@@ -90,6 +90,28 @@ def detections_to_coco_json(det, image_ids, ratios, id_map_inv=None, score_thres
     return out
 
 
+def group_predictions_by_image(predictions: List[dict], records: List[dict]) -> List[dict]:
+    """Group flat prediction records into the per-image instance-dump format
+    the reference stores as instances_predictions.pth and feeds to
+    vis.visualize_from_instances (omni3d_evaluation.py:966-1014: each entry
+    carries image_id, K, width, height and an 'instances' list)."""
+    by_img = defaultdict(list)
+    for p in predictions:
+        by_img[p["image_id"]].append(p)
+    out = []
+    for rec in records:
+        out.append(
+            {
+                "image_id": rec["image_id"],
+                "K": np.asarray(rec["K"]).tolist(),
+                "width": rec["width"],
+                "height": rec["height"],
+                "instances": by_img.get(rec["image_id"], []),
+            }
+        )
+    return out
+
+
 def gts_from_records(records: List[dict], id_map_inv=None) -> List[dict]:
     """Eval-ready GT dicts from loader records (original resolution).
 

@@ -30,7 +30,7 @@ from threedod.data.batch import Batch
 from threedod.data.mapper import DatasetMapper3D
 from threedod.models import build_model
 from threedod.train.checkpoint import CheckpointManager
-from threedod.vis import draw_scene_view
+from threedod.vis import draw_bev, get_color, render_scene_views
 
 
 def main():
@@ -103,15 +103,31 @@ def main():
         det = {k: np.asarray(v)[0] for k, v in det._asdict().items()}
         keep = det["valid"] & (det["scores"] > args.score_thresh)
         img = np.asarray(Image.open(path).convert("RGB"))
-        out = draw_scene_view(
-            img,
-            np.asarray(batch.K)[0],
-            det["corners3d"][keep],
-            labels=det["classes"][keep],
-            scores=det["scores"][keep],
+        corners = det["corners3d"][keep]
+        labels = det["classes"][keep]
+        scores = det["scores"][keep]
+        text = [f"{int(c)} {s:.2f}" for c, s in zip(labels, scores)]
+        colors = [get_color(int(c)) for c in labels]
+        # reference demo contract (demo/demo.py:135-142): rendered front +
+        # novel panels written separately, blend 0.5 / overlay 0.85
+        front, novel = render_scene_views(
+            img, np.asarray(batch.K)[0], corners, text=text, colors=colors,
+            mode="front_and_novel", blend_weight=0.5, blend_weight_overlay=0.85,
         )
+        stem = os.path.splitext(os.path.basename(path))[0]
+        Image.fromarray(front).save(os.path.join(args.output_dir, stem + "_boxes.jpg"))
+        Image.fromarray(novel).save(os.path.join(args.output_dir, stem + "_novel.jpg"))
+        # three-panel composite: front | novel | BEV
+        bev = draw_bev([np.asarray(c) for c in corners], colors=colors, size=front.shape[0])
+        fimg, nimg = Image.fromarray(front), Image.fromarray(novel)
+        if nimg.height != fimg.height:
+            nimg = nimg.resize((int(nimg.width * fimg.height / nimg.height), fimg.height))
+        panel = Image.new("RGB", (fimg.width + nimg.width + bev.width, fimg.height))
+        panel.paste(fimg, (0, 0))
+        panel.paste(nimg, (fimg.width, 0))
+        panel.paste(bev, (fimg.width + nimg.width, 0))
         out_path = os.path.join(args.output_dir, os.path.basename(path))
-        out.save(out_path)
+        panel.save(out_path)
         print(f"{os.path.basename(path)}: {int(keep.sum())} detections -> {out_path}")
 
 

@@ -111,6 +111,23 @@ def run_proposal_eval(cfg, meta, priors, mode: str, proposal_function: str, use_
             records = get_dataset_dicts([name])
             gts = gts_from_records(records, id_map_inv)
             results[name] = helper.evaluate(name, gts, predictions)
+            if cfg.vis_period:
+                # eval-sample dumps + error stats (reference eval_boxes.py:515-533)
+                from threedod.evaluation.inference import group_predictions_by_image
+                from threedod.vis import visualize_from_instances
+
+                id_map = meta.thing_dataset_id_to_contiguous_id
+                contig = [
+                    {**p, "category_id": id_map.get(p["category_id"], p["category_id"])}
+                    for p in predictions
+                ]
+                grouped = group_predictions_by_image(contig, records)
+                log_str = visualize_from_instances(
+                    grouped, records, name, cfg.input.min_size_test,
+                    os.path.join(cfg.output_dir, name), list(meta.thing_classes),
+                    visualize_every=cfg.vis_period,
+                )
+                logging.getLogger(__name__).info(log_str.rstrip())
     return results
 
 

@@ -95,6 +95,23 @@ def do_test(cfg, model, variables, meta, storage=None, iteration=0):
         res = helper.evaluate(name, gts, preds)
         logger.info("%s: AP2D %.2f AP3D %.2f (@15 %.2f @25 %.2f @50 %.2f)",
                     name, res["AP2D"], res["AP3D"], res["AP3D@15"], res["AP3D@25"], res["AP3D@50"])
+        if cfg.vis_period:
+            # eval-sample dumps + error stats (reference train_net.py:95-117)
+            from threedod.evaluation.inference import group_predictions_by_image
+            from threedod.vis import visualize_from_instances
+
+            id_map = meta.thing_dataset_id_to_contiguous_id
+            contig = [
+                {**p, "category_id": id_map.get(p["category_id"], p["category_id"])}
+                for p in preds
+            ]
+            grouped = group_predictions_by_image(contig, records)
+            log_str = visualize_from_instances(
+                grouped, records, name, cfg.input.min_size_test,
+                os.path.join(cfg.output_dir, name), list(meta.thing_classes),
+                iteration, visualize_every=cfg.vis_period,
+            )
+            logger.info(log_str.rstrip())
         if storage is not None:
             storage.put_scalars(**{f"{name}/AP2D": res["AP2D"], f"{name}/AP3D": res["AP3D"]})
     return helper.summarize_all()

@@ -269,3 +269,37 @@ class TestRetryReinit:
         # skips every step against the 1e6 fallback rolling mean
         assert "rolling mean 1000000.00" not in log, log[-1500:]
         assert "loss nan" not in log, log[-1500:]
+
+
+class TestVisualiseGTCLI:
+    def test_stats_and_result_plots(self, tiny_env, tmp_path):
+        # fake finished-run artifacts with per-category APs
+        for d, base in (("run_a", 20.0), ("run_b", 8.0)):
+            os.makedirs(tmp_path / d, exist_ok=True)
+            res = {"synth_test": {
+                "AP2D": base + 5, "AP3D": base,
+                "percat2D": {c: base + i * 3 for i, c in enumerate(["chair", "table", "sofa"])},
+                "percat3D": {c: base + i * 2 for i, c in enumerate(["chair", "table", "sofa"])},
+            }}
+            with open(tmp_path / d / "results.json", "w") as f:
+                json.dump(res, f)
+        out = tmp_path / "figs"
+        r = run_tool(
+            [os.path.join(REPO, "tools/visualise_gt.py"),
+             "--dataset-json", str(tiny_env / "Omni3D" / "synth_train.json"),
+             "--image-root", str(tiny_env),
+             "--out-dir", str(out), "--max-images", "1",
+             "--run-dirs", str(tmp_path / "run_a"), str(tmp_path / "run_b"),
+             "--run-names", "base", "weak"],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        # the reference's figure set (VisualiseGT.py:144-813)
+        for fname in (
+            "category_distribution.png", "2d_histogram.png", "center.png",
+            "dimensions.png", "volume_distribution.png",
+            "AP_vs_no_of_classes_all.png", "AP3D_vs_AP2D_all_standard.png",
+            "AP3D_vs_AP2D_all_log.png",
+        ):
+            p = out / fname
+            assert p.exists() and p.stat().st_size > 1000, fname

@@ -128,6 +128,9 @@ def run_proposal_eval(cfg, meta, priors, mode: str, proposal_function: str, use_
                     visualize_every=cfg.vis_period,
                 )
                 logging.getLogger(__name__).info(log_str.rstrip())
+        # structured results artifact for tools/visualise_gt.py plots
+        with open(os.path.join(cfg.output_dir, "results.json"), "w") as f:
+            json.dump(results, f, indent=1, default=float)
     return results
 
 

@@ -114,7 +114,16 @@ def do_test(cfg, model, variables, meta, storage=None, iteration=0):
             logger.info(log_str.rstrip())
         if storage is not None:
             storage.put_scalars(**{f"{name}/AP2D": res["AP2D"], f"{name}/AP3D": res["AP3D"]})
-    return helper.summarize_all()
+    results = helper.summarize_all()
+    # persist structured results incl. per-category APs — the framework's
+    # replacement for the reference's log-scraped result tables
+    # (VisualiseGT.py search_file_backwards): tools/visualise_gt.py plots
+    # consume <output_dir>/results.json
+    import json as _json
+
+    with open(os.path.join(cfg.output_dir, "results.json"), "w") as f:
+        _json.dump(results, f, indent=1, default=float)
+    return results
 
 
 def fresh_state(cfg, trainer, sample, key):

@@ -35,10 +35,51 @@ ITERS_SHORT = 5
 ITERS_LONG = 25
 
 
+def kernel_parity_gate():
+    """Per-round TPU regression gate for the Pallas ROIAlign kernel.
+
+    The CPU suite can only exercise the XLA oracle (the Pallas kernel needs
+    the TPU backend); this gate runs a small forward + backward parity check
+    against the bit-identical windowed oracle on every driver bench run so a
+    kernel regression can never ship silently with a green CPU suite.
+    Raises on mismatch (the driver then records a failed bench).
+    """
+    from threedod.ops.roi_align import multilevel_roi_align_windowed
+    from threedod.ops.roi_align_pallas import WINDOW_Y, multilevel_roi_align_tpu
+
+    rng = np.random.RandomState(7)
+    # C=128 engages the Pallas kernel (not the c%128 fallback); boxes cover
+    # both window classes and image-edge clamping.
+    feats = {
+        "p2": jnp.asarray(rng.randn(64, 80, 128).astype(np.float32)),
+        "p3": jnp.asarray(rng.randn(32, 40, 128).astype(np.float32)),
+    }
+    xy = rng.uniform(-10, 250, (32, 2)).astype(np.float32)
+    wh = np.exp(rng.uniform(np.log(4), np.log(200), (32, 2))).astype(np.float32)
+    boxes = jnp.asarray(np.clip(np.concatenate([xy, xy + wh], -1), 0, None))
+    a = np.asarray(multilevel_roi_align_windowed(feats, boxes, window=WINDOW_Y))
+    b = np.asarray(multilevel_roi_align_tpu(feats, boxes))
+    fwd_err = float(np.abs(a - b).max())
+    assert fwd_err < 1e-3, f"Pallas ROIAlign forward parity broke: {fwd_err}"
+
+    cot = jnp.asarray(rng.randn(32, 7, 7, 128).astype(np.float32))
+    g_p = jax.grad(lambda f: jnp.sum(multilevel_roi_align_tpu(f, boxes) * cot))(feats)
+    g_r = jax.grad(
+        lambda f: jnp.sum(multilevel_roi_align_windowed(f, boxes, window=WINDOW_Y) * cot)
+    )(feats)
+    for k in feats:
+        x, y = np.asarray(g_p[k]), np.asarray(g_r[k])
+        err = float(np.abs(x - y).max() / (np.abs(y).max() + 1e-9))
+        assert err < 1e-4, f"Pallas ROIAlign backward parity broke at {k}: {err}"
+
+
 def main():
     from threedod.config import Config
     from threedod.data.batch import Batch
     from threedod.models import build_model
+
+    if jax.default_backend() == "tpu":
+        kernel_parity_gate()
 
     cfg = Config()
     cfg.shapes.canvas_height = 512

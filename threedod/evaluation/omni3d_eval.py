@@ -67,6 +67,36 @@ def iou_2d_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd=None) -> np.ndarray:
 
 
 _IOU3D_FN = None
+_IOU3D_PAIRS_FN = None
+_IOU3D_CHUNK = 8192
+
+
+def iou_3d_pairs_chunked(d_pairs: np.ndarray, g_pairs: np.ndarray) -> np.ndarray:
+    """Element-wise IoU3D over (P, 8, 3) pair arrays, in fixed-size chunks.
+
+    One jit compile total (the chunk shape is static; the tail is padded
+    with zero boxes, which the kernel scores 0), a handful of device
+    dispatches for an entire dataset — vs one ragged-shape compile + round
+    trip per (image, category) block in the naive path.
+    """
+    global _IOU3D_PAIRS_FN
+    if _IOU3D_PAIRS_FN is None:
+        import jax
+
+        from ..geometry.iou3d import iou3d_pairs
+
+        _IOU3D_PAIRS_FN = jax.jit(lambda a, b: iou3d_pairs(a, b)[1])
+    n = d_pairs.shape[0]
+    out = np.empty((n,), np.float32)
+    for s in range(0, n, _IOU3D_CHUNK):
+        e = min(s + _IOU3D_CHUNK, n)
+        a, b = d_pairs[s:e], g_pairs[s:e]
+        if e - s < _IOU3D_CHUNK:
+            pad = np.zeros((_IOU3D_CHUNK - (e - s), 8, 3), np.float32)
+            a = np.concatenate([a, pad])
+            b = np.concatenate([b, pad])
+        out[s:e] = np.asarray(_IOU3D_PAIRS_FN(a, b))[: e - s]
+    return out
 
 
 def iou_3d_corners(d_corners: np.ndarray, g_corners: np.ndarray) -> np.ndarray:
@@ -153,6 +183,7 @@ class Omni3DEval:
             self._dts[d["image_id"], d["category_id"]].append(d)
 
         self.evalImgs: list = []
+        self._iou3d_cache: Dict[tuple, np.ndarray] = {}
         self.eval: dict = {}
         self.stats: np.ndarray = np.array([])
         self.evals_per_cat_area: Optional[dict] = None
@@ -171,9 +202,14 @@ class Omni3DEval:
         if self.mode == "2D":
             ious = iou_2d_xywh([d["bbox"] for d in dt], [g["bbox"] for g in gt])
         elif len(dt) > 0 and len(gt) > 0:
-            ious = iou_3d_corners(
-                np.asarray([d["bbox3D"] for d in dt]), np.asarray([g["bbox3D"] for g in gt])
-            )
+            cached = self._iou3d_cache.get((imgId, catId))
+            if cached is not None:
+                ious = cached
+            else:
+                ious = iou_3d_corners(
+                    np.asarray([d["bbox3D"] for d in dt]),
+                    np.asarray([g["bbox3D"] for g in gt]),
+                )
         else:
             ious = []
 
@@ -274,9 +310,50 @@ class Omni3DEval:
             "dtIgnore": dtIg,
         }
 
+    def _precompute_ious_3d(self):
+        """Batch every (image, category) IoU3D block into chunked pairwise
+        device calls (see iou_3d_pairs_chunked). Produces values identical
+        to per-block box3d_overlap: that path is itself iou3d_pairs over
+        the same repeat/tile pair ordering."""
+        p = self.params
+        blocks, d_list, g_list = [], [], []
+        for imgId in p.imgIds:
+            for catId in p.catIds:
+                gt = self._gts[imgId, catId]
+                dt = self._dts[imgId, catId]
+                if not gt or not dt:
+                    continue
+                inds = np.argsort([-d["score"] for d in dt], kind="mergesort")
+                dt = [dt[i] for i in inds][: p.maxDets[-1]]
+                dc = np.asarray([d["bbox3D"] for d in dt], np.float32)
+                gc = np.asarray([g["bbox3D"] for g in gt], np.float32)
+                blocks.append(((imgId, catId), len(dt), len(gt)))
+                d_list.append(np.repeat(dc, len(gt), axis=0))
+                g_list.append(np.tile(gc, (len(dt), 1, 1)))
+        if not blocks:
+            return
+        d_pairs = np.concatenate(d_list)
+        g_pairs = np.concatenate(g_list)
+        # degenerate guard, same semantics as iou_3d_corners: any pair
+        # touching a non-finite box scores 0
+        bad = ~(
+            np.isfinite(d_pairs).all(axis=(1, 2)) & np.isfinite(g_pairs).all(axis=(1, 2))
+        )
+        d_pairs[bad] = 0.0
+        g_pairs[bad] = 0.0
+        iou = iou_3d_pairs_chunked(d_pairs, g_pairs)
+        iou[bad] = 0.0
+        off = 0
+        for key, nd, ng in blocks:
+            self._iou3d_cache[key] = iou[off : off + nd * ng].reshape(nd, ng)
+            off += nd * ng
+
     def evaluate(self):
         tic = time.time()
         p = self.params
+        self._iou3d_cache: Dict[tuple, np.ndarray] = {}
+        if self.mode == "3D":
+            self._precompute_ious_3d()
         self.ious = {
             (imgId, catId): self.computeIoU(imgId, catId)
             for imgId in p.imgIds

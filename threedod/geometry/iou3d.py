@@ -86,10 +86,15 @@ def _clip_polygon(verts: jnp.ndarray, count: jnp.ndarray, n: jnp.ndarray, d: jnp
     # interleave: per edge emit [intersection, next-vertex]
     cand = jnp.stack([v_int, v_next], axis=1).reshape(2 * m, 3)
     flags = jnp.stack([emit_int, emit_next], axis=1).reshape(2 * m)
-    order = jnp.argsort(jnp.logical_not(flags), stable=True)
-    packed = cand[order]
-    new_count = jnp.sum(flags).astype(jnp.int32)
-    return packed[:m], new_count
+    # stable compaction of flagged candidates WITHOUT a sort: slot j holds
+    # the candidate whose running flag-count is j+1. (A stable argsort here
+    # is semantically identical but costs minutes of XLA:TPU compile time
+    # once vmapped inside the clip loop; this gather lowers to trivial HLO.)
+    csum = jnp.cumsum(flags.astype(jnp.int32))
+    idx = jnp.searchsorted(csum, jnp.arange(1, m + 1, dtype=jnp.int32), side="left")
+    packed = cand[jnp.clip(idx, 0, 2 * m - 1)]
+    new_count = csum[-1]
+    return packed, new_count
 
 
 def _clipped_faces_volume(face_verts: jnp.ndarray, planes_n: jnp.ndarray, planes_d: jnp.ndarray, eps: float):
@@ -101,6 +106,8 @@ def _clipped_faces_volume(face_verts: jnp.ndarray, planes_n: jnp.ndarray, planes
         verts = jnp.zeros((MAX_VERTS, 3), quad.dtype).at[:4].set(quad)
         count = jnp.asarray(4, jnp.int32)
 
+        # keep the clip loop rolled: unrolling the 6 iterations makes
+        # XLA:TPU fusion blow compile time up 4x for identical numerics
         def body(i, carry):
             v, c = carry
             return _clip_polygon(v, c, planes_n[i], planes_d[i], eps)

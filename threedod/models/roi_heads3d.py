@@ -87,8 +87,15 @@ class ROIHeads3D(nn.Module):
         c = self.cfg
         ch = c.model.roi_cube_head
         self.num_classes = c.model.roi_heads.num_classes
+        # head MLPs compute in the model dtype (bf16 on TPU): the fc1
+        # (S²·C x fc_dim) matmul over all pooled ROIs is the branch's
+        # second-largest cost after the pool DMA; its logits-producing
+        # predictor stays f32 (BoxPredictor pins dtype=f32 on its Denses)
+        head_dtype = jnp.bfloat16 if c.model.dtype == "bfloat16" else jnp.float32
         self.box_head = BoxHeadMLP(
-            num_fc=c.model.roi_box_head.num_fc, fc_dim=c.model.roi_box_head.fc_dim
+            num_fc=c.model.roi_box_head.num_fc,
+            fc_dim=c.model.roi_box_head.fc_dim,
+            dtype=head_dtype,
         )
         self.box_predictor = BoxPredictor(num_classes=self.num_classes)
         self.transform = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
@@ -102,6 +109,7 @@ class ROIHeads3D(nn.Module):
                 pose_type=ch.pose_type,
                 cluster_bins=ch.cluster_bins,
                 use_confidence=ch.use_confidence,
+                dtype=head_dtype,
             )
             C, bins = self.num_classes, max(ch.cluster_bins, 1)
             if ch.dims_priors_enabled and self.priors is not None:

@@ -66,23 +66,27 @@ SMALL_MAX_CELLS = 14.0
 
 
 def _rois_per_step(itemsize: int) -> int:
-    # window scratch: 2 (phases) * R * 32 * 48 * C * itemsize; ~6.3 MB at
-    # C=256 bf16 — stay well under the ~16 MB VMEM budget
-    return 4 if itemsize <= 2 else 2
+    # window scratch: 2 (phases) * R * 32 * 48 * C * itemsize; ~12.6 MB at
+    # C=256 bf16 R=8 — under the ~16 MB VMEM budget
+    return 8 if itemsize <= 2 else 2
 
 
-def _kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem):
+def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem):
     """One grid step: pool ROIS_PER_STEP ROIs.
 
-    lvl/y0/x0/cls: (N,) int32 in SMEM (scalar prefetch); ay/ax: (R, S_PAD,
-    WINDOW) blocks in VMEM; buf_ref: full (L, H, W, C) in HBM; out block
+    y0/x0/cls: (N,) int32 in SMEM (scalar prefetch; y0 is global into the
+    y-stacked level plane); ay/ax: (R, S_PAD, WINDOW) blocks in VMEM;
+    buf_ref: full (H_stack, W, C) in HBM; out block
     (R, S_PAD, S_PAD, C); win scratch (2, R, WINDOW, WINDOW, C) + DMA sems,
     double-buffered across grid steps: step i's compute overlaps step i+1's
     window DMAs (without this the DMA queue drains at every step boundary —
     measured ~475 GB/s vs ~800 GB/s pipelined at the 32x48 window size).
     Small-class ROIs (cls == 1) DMA only the (SMALL_Y, SMALL_X) corner of
     their slot; the rest of the slot holds zeros/stale finite values that
-    the pooling matmul multiplies by exactly-zero tap weights.
+    the pooling matmul multiplies by exactly-zero tap weights. (A dedicated
+    small scratch + per-class K=512 matmul was tried and measured SLOWER —
+    the extra small-m construction matmuls cost more than the smaller K
+    saves; so did a batched-einsum pooling of all R ROIs. See DESIGN 9b.)
     """
     r = ay_ref.shape[0]
     c = buf_ref.shape[-1]
@@ -94,7 +98,6 @@ def _kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, 
         roi = step * r + j
         return pltpu.make_async_copy(
             buf_ref.at[
-                lvl_ref[roi],
                 pl.ds(y0_ref[roi], WINDOW_Y),
                 pl.ds(pl.multiple_of(x0_ref[roi], 16), WINDOW_X),
                 :,
@@ -107,7 +110,6 @@ def _kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, 
         roi = step * r + j
         return pltpu.make_async_copy(
             buf_ref.at[
-                lvl_ref[roi],
                 pl.ds(y0_ref[roi], SMALL_Y),
                 pl.ds(pl.multiple_of(x0_ref[roi], 16), SMALL_X),
                 :,
@@ -163,32 +165,57 @@ def _kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, 
     # as (H·W, C) — a free view because WINDOW_X is a multiple of the
     # sublane tile. The earlier two-matmul form needed two VPU relayouts
     # (transposes) per ROI, which dominated the kernel time. The outer
-    # product M = ay ⊗ ax is itself built on the MXU via constant 0/1
-    # selector matmuls (exact single-element copies): Mosaic cannot lower
-    # the broadcast-reshape form ("unsupported shape cast").
-    ss, hw = S_PAD * S_PAD, WINDOW_Y * WINDOW_X
-    rr = jax.lax.broadcasted_iota(jnp.int32, (ss, S_PAD), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (ss, S_PAD), 1)
-    row_y = (rr // S_PAD == cc).astype(dt)  # row (sy,sx) <- ay row sy
-    row_x = (rr % S_PAD == cc).astype(dt)   # row (sy,sx) <- ax row sx
-    hh = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_Y, hw), 0)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_Y, hw), 1)
-    col_y = (ch // WINDOW_X == hh).astype(dt)  # col (h,w) <- ay col h
-    ww = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_X, hw), 0)
-    cw = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_X, hw), 1)
-    col_x = (cw % WINDOW_X == ww).astype(dt)   # col (h,w) <- ax col w
+    # product M = ay ⊗ ax is built on the MXU via constant 0/1 selector
+    # matmuls (exact single-element copies): Mosaic cannot lower the
+    # broadcast-reshape form ("unsupported shape cast"). The construction
+    # is batched over all R ROIs of the step — 4 matmuls per STEP, not per
+    # ROI: the kernel is MXU-op-latency bound (measured 1.3 us/ROI at 5
+    # matmuls/ROI vs 0.7 us DMA), so op count, not FLOPs, is what matters.
+    ss = S_PAD * S_PAD
 
-    def expand(rows, vec, cols):
-        t = jnp.dot(vec, cols, preferred_element_type=jnp.float32, precision=prec)
-        return jnp.dot(
-            rows, t.astype(dt), preferred_element_type=jnp.float32, precision=prec
+    def build_m(taps_y, taps_x, wy, wx):
+        """All R ROIs' outer-product weight matrices (R*S², wy*wx) in 4
+        matmuls total. (Mosaic requires 32-bit matmul accumulators; the
+        f32->dt casts are exact because selector matmuls move single
+        elements.)"""
+        hw = wy * wx
+        hh = jax.lax.broadcasted_iota(jnp.int32, (wy, hw), 0)
+        ch = jax.lax.broadcasted_iota(jnp.int32, (wy, hw), 1)
+        col_y = (ch // wx == hh).astype(dt)  # col (h,w) <- ay col h
+        ww = jax.lax.broadcasted_iota(jnp.int32, (wx, hw), 0)
+        cw = jax.lax.broadcasted_iota(jnp.int32, (wx, hw), 1)
+        col_x = (cw % wx == ww).astype(dt)   # col (h,w) <- ax col w
+        # spread taps to the flattened (h, w) axis for all R ROIs at once
+        t_y = jnp.dot(
+            taps_y.reshape(r * S_PAD, wy), col_y,
+            preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt)
+        t_x = jnp.dot(
+            taps_x.reshape(r * S_PAD, wx), col_x,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)
+        # scatter rows (j, sy) / (j, sx) -> (j, sy, sx)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r * ss, r * S_PAD), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (r * ss, r * S_PAD), 1)
+        j_row = rr // ss
+        sel_y = ((j_row * S_PAD + (rr % ss) // S_PAD) == cc).astype(dt)
+        sel_x = ((j_row * S_PAD + rr % S_PAD) == cc).astype(dt)
+        return jnp.dot(
+            sel_y, t_y, preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt) * jnp.dot(
+            sel_x, t_x, preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt)
+
+    m_all = build_m(ay_ref[...], ax_ref[...], WINDOW_Y, WINDOW_X)
 
     for j in range(r):
         wait(i, j, phase)
-        w2 = win[phase, j].reshape(hw, c)
-        m = expand(row_y, ay_ref[j], col_y) * expand(row_x, ax_ref[j], col_x)
-        o = jnp.dot(m, w2, preferred_element_type=jnp.float32, precision=prec)
+        o = jnp.dot(
+            m_all[j * ss : (j + 1) * ss],
+            win[phase, j].reshape(WINDOW_Y * WINDOW_X, c),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
         out_ref[j] = o.astype(out_ref.dtype)
 
 
@@ -217,18 +244,26 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
     level_ids = [int(n[1:]) for n in names]
     lmin, lmax = min(level_ids), max(level_ids)
     c = features[names[0]].shape[-1]
-    # buffer at least one window big (tiny test canvases); width padded so
-    # the clip bound (w0 - WINDOW_X) is 16-aligned — otherwise right-edge
-    # ROIs get a rounded-down origin whose window misses their last taps
-    h0 = max(features[names[0]].shape[0], WINDOW_Y)
+    # levels stack along Y in ONE (H_stack, w0, C) plane (sum of level
+    # heights + a WINDOW_Y tail so any window fits) instead of a
+    # (L, max_h, w0, C) cube: the buffer is rebuilt from the FPN outputs
+    # every step, and the stacked form moves ~4.5x fewer bytes. Windows
+    # near a level's bottom edge read into the next level's rows — exactly
+    # zero tap weight there (the limit masks in _axis_weights), so reads
+    # are harmless and the backward's RMW adds zeros. Width padded so the
+    # clip bound (w0 - WINDOW_X) is 16-aligned — otherwise right-edge ROIs
+    # get a rounded-down origin whose window misses their last taps.
     w0 = max(features[names[0]].shape[1], WINDOW_X)
     w0 = WINDOW_X + -(-(w0 - WINDOW_X) // 16) * 16
     dtype = features[names[0]].dtype
 
     hs = [features[nm].shape[0] for nm in names]
     ws = [features[nm].shape[1] for nm in names]
+    offs = np.concatenate([[0], np.cumsum(hs)[:-1]]).astype(np.int32)
+    h_stack = int(sum(hs)) + WINDOW_Y
     hs_a = jnp.asarray(hs)
     ws_a = jnp.asarray(ws)
+    offs_a = jnp.asarray(offs)
     strides_arr = jnp.asarray([float(strides[nm]) for nm in names])
 
     n = boxes.shape[0]
@@ -259,12 +294,11 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
     ext_lvl = ext * scale
     small = (ext_lvl <= SMALL_MAX_CELLS).astype(jnp.int32)
 
+    # y origin: local to the assigned level, clipped inside its rows; taps
+    # past the level's last row carry zero weight, so a window that spills
+    # into the next level's rows (or the tail pad) reads only dead taps
     fy = jnp.floor(sy[:, 0]).astype(jnp.int32)
-    y0w = jnp.where(
-        small == 1,
-        jnp.clip(fy, 0, h0 - SMALL_Y),
-        jnp.clip(fy, 0, h0 - WINDOW_Y),
-    )
+    y0w = jnp.clip(fy, 0, jnp.maximum(lvl_h - 1, 0))
     # x origin rounded down to the 16-sublane tile (Mosaic slice constraint
     # for bf16; also satisfies f32's 8); both clip bounds are 16-aligned
     fx = jnp.floor(sx[:, 0]).astype(jnp.int32)
@@ -278,20 +312,22 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
     ay = _axis_weights(sy, y0w, lvl_h, n, s, r, WINDOW_Y).astype(dtype)
     ax = _axis_weights(sx, x0w, lvl_w, n, s, r, WINDOW_X).astype(dtype)
 
+    # fold the level offset in: kernels index the stacked plane directly
+    y0g = offs_a[assign] + y0w
+
     # pad N to the grid multiple (padded ROIs carry zero weights -> no-ops;
     # class "small" so they DMA the cheap window)
     n_pad = -(-n // rois_per_step) * rois_per_step
     if n_pad != n:
         pad = n_pad - n
-        assign = jnp.pad(assign, (0, pad))
-        y0w = jnp.pad(y0w, (0, pad))
+        y0g = jnp.pad(y0g, (0, pad))
         x0w = jnp.pad(x0w, (0, pad))
         small = jnp.pad(small, (0, pad), constant_values=1)
         ay = jnp.pad(ay, ((0, pad), (0, 0), (0, 0)))
         ax = jnp.pad(ax, ((0, pad), (0, 0), (0, 0)))
     return dict(
-        names=names, c=c, h0=h0, w0=w0,
-        n=n, n_pad=n_pad, assign=assign, y0w=y0w, x0w=x0w, ay=ay, ax=ax,
+        names=names, c=c, h_stack=h_stack, w0=w0, offs=offs, hs=hs,
+        n=n, n_pad=n_pad, y0w=y0g, x0w=x0w, ay=ay, ax=ax,
         small=small,
     )
 
@@ -313,19 +349,19 @@ def _pallas_forward(
     dtype = next(iter(features.values())).dtype
     rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
     p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step)
-    names, c, h0, w0 = p["names"], p["c"], p["h0"], p["w0"]
+    names, c, h_stack, w0 = p["names"], p["c"], p["h_stack"], p["w0"]
     n, n_pad = p["n"], p["n_pad"]
-    assign, y0w, x0w, ay, ax = p["assign"], p["y0w"], p["x0w"], p["ay"], p["ax"]
+    y0w, x0w, ay, ax = p["y0w"], p["x0w"], p["ay"], p["ax"]
     small = p["small"]
     s = output_size
 
-    buf = jnp.zeros((len(names), h0, w0, c), dtype)
-    for i, nm in enumerate(names):
+    buf = jnp.zeros((h_stack, w0, c), dtype)
+    for off, nm in zip(p["offs"], names):
         h, w = features[nm].shape[:2]
-        buf = buf.at[i, :h, :w].set(features[nm])
+        buf = buf.at[int(off) : int(off) + h, :w].set(features[nm])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_pad // rois_per_step,),
         in_specs=[
             pl.BlockSpec(
@@ -364,11 +400,11 @@ def _pallas_forward(
             bytes_accessed=n_pad * WINDOW_Y * WINDOW_X * c * itemsize,
             transcendentals=0,
         ),
-    )(assign, y0w, x0w, small, ay, ax, buf)
+    )(y0w, x0w, small, ay, ax, buf)
     return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
 
 
-def _bwd_kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
+def _bwd_kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
     del dbuf_in  # aliased to dbuf_ref (the output) — all access goes there
     """Backward: accumulate dwin = Mᵀ·g into the stacked f32 grad buffer.
 
@@ -418,7 +454,6 @@ def _bwd_kernel(lvl_ref, y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, g_ref, dbuf_in
 
         def dst(wy, wx):
             return dbuf_ref.at[
-                lvl_ref[roi],
                 pl.ds(y0_ref[roi], wy),
                 pl.ds(pl.multiple_of(x0_ref[roi], 16), wx),
                 :,
@@ -464,9 +499,9 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     dtype = next(iter(features.values())).dtype
     rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
     p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step)
-    names, c, h0, w0 = p["names"], p["c"], p["h0"], p["w0"]
+    names, c, h_stack, w0 = p["names"], p["c"], p["h_stack"], p["w0"]
     n, n_pad = p["n"], p["n_pad"]
-    assign, y0w, x0w, ay, ax = p["assign"], p["y0w"], p["x0w"], p["ay"], p["ax"]
+    y0w, x0w, ay, ax = p["y0w"], p["x0w"], p["ay"], p["ax"]
     small = p["small"]
     s = output_size
 
@@ -475,10 +510,10 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     gp = gp.at[:n, :s, :s].set(g.astype(jnp.float32))
     gp = gp.reshape(n_pad, S_PAD * S_PAD, c)
 
-    dbuf = jnp.zeros((len(names), h0, w0, c), jnp.float32)
+    dbuf = jnp.zeros((h_stack, w0, c), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_pad // rois_per_step,),
         in_specs=[
             pl.BlockSpec(
@@ -506,20 +541,20 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dbuf.shape, jnp.float32),
-        # operand index counts the scalar-prefetch args first (4 scalars +
-        # ay, ax, g, dbuf -> dbuf is operand 7)
-        input_output_aliases={7: 0},
+        # operand index counts the scalar-prefetch args first (3 scalars +
+        # ay, ax, g, dbuf -> dbuf is operand 6)
+        input_output_aliases={6: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * WINDOW_X * c,
             bytes_accessed=2 * n_pad * WINDOW_Y * WINDOW_X * c * 4,
             transcendentals=0,
         ),
-    )(assign, y0w, x0w, small, ay, ax, gp, dbuf)
+    )(y0w, x0w, small, ay, ax, gp, dbuf)
 
     dfeat = {}
-    for i, nm in enumerate(names):
+    for off, nm in zip(p["offs"], names):
         h, w = features[nm].shape[:2]
-        dfeat[nm] = out[i, :h, :w].astype(features[nm].dtype)
+        dfeat[nm] = out[int(off) : int(off) + h, :w].astype(features[nm].dtype)
     return dfeat
 
 

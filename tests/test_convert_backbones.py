@@ -6,6 +6,7 @@ test without downloaded weights: random-init the torch trunk, convert its
 state_dict with convert_dla, and require the flax DLA to reproduce the torch
 feature maps at every pyramid level.
 """
+import importlib.machinery
 import sys
 import types
 
@@ -19,6 +20,9 @@ def _stub(name, **attrs):
     mod = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
+    # avoid __spec__=None, which breaks importlib.util.find_spec(name) for
+    # any later availability probe (see tests/test_depth.py)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     sys.modules[name] = mod
     return mod
 

@@ -5,6 +5,7 @@ importable with torch only (cv2/torchvision stubbed), so the strongest test
 possible without downloaded weights runs here: random-init the torch model,
 convert its state_dict, and require the flax port to reproduce its output.
 """
+import importlib.machinery
 import sys
 import types
 
@@ -24,6 +25,11 @@ for name in ("cv2", "torchvision", "torchvision.transforms"):
         mod = _AnyAttrModule(name)
         if name == "torchvision.transforms":
             mod.Compose = lambda x: x
+        # A bare ModuleType has __spec__=None, which makes
+        # importlib.util.find_spec(name) raise ValueError for any later
+        # importer probing availability (transformers does this for cv2
+        # during test_gdino_parity collection). Give the stub a real spec.
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
 
 sys.path.insert(0, "/root/reference/depth/metric_depth")

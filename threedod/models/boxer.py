@@ -33,9 +33,8 @@ from ..scoring.scorefunction import (
     score_corners,
     score_dimensions,
     score_iou,
-    score_mod_segmentation,
     score_point_cloud,
-    score_segmentation,
+    score_segmentation_pair,
 )
 from ..structures.cubes import Cubes
 
@@ -177,8 +176,7 @@ def propose_and_score(
 
     iou2d = jax.vmap(score_iou)(boxes, prop_boxes)
     pc = score_point_cloud(points, cubes, pc_valid).astype(jnp.float32)
-    seg = jax.vmap(score_segmentation)(masks, bube)
-    seg_mod = jax.vmap(score_mod_segmentation)(masks, bube)
+    seg, seg_mod = jax.vmap(score_segmentation_pair)(masks, bube)
     corner = jax.vmap(score_corners)(masks, bube)
     dim = jax.vmap(score_dimensions)(prior_means, prior_stds, cubes.dimensions, boxes, prop_boxes)
     combined = iou2d * dim * corner

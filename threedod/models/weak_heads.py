@@ -139,7 +139,35 @@ def masked_quantile(values, mask, q):
     return v[idx]
 
 
+def masked_quantile_batch(values, mask, *qs):
+    """Row-wise `masked_quantile`: values/mask (N, K) -> one (N,) per q.
+
+    Multiple quantiles of the same rows share a single sort.
+    """
+    big = 1e9
+    v = jnp.sort(jnp.where(mask, values, big), axis=-1)
+    n = jnp.sum(mask, axis=-1)
+    outs = []
+    for q in qs:
+        idx = jnp.clip((q * jnp.maximum(n - 1, 0)).astype(jnp.int32), 0, v.shape[-1] - 1)
+        outs.append(jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0])
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
 BOX_SAMPLE_GRID = 32  # per-ROI quantile window (see _box_window)
+
+
+def _box_window_indices(boxes, h, w, s=BOX_SAMPLE_GRID):
+    """Per-ROI (N, s) row/col sample indices spanning each box, plus the
+    (N, s, s) bool mask of samples whose *unclipped* coordinates fall
+    inside the image."""
+    t = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = boxes[:, 1, None] + t[None, :] * jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)[:, None]
+    xs = boxes[:, 0, None] + t[None, :] * jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)[:, None]
+    valid = ((ys >= 0) & (ys < h))[:, :, None] & ((xs >= 0) & (xs < w))[:, None, :]
+    yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
+    return yi, xi, valid
 
 
 def _box_window(img, box, s=BOX_SAMPLE_GRID):
@@ -160,13 +188,31 @@ def _box_window(img, box, s=BOX_SAMPLE_GRID):
     the quantiles for truncated objects.
     """
     h, w = img.shape
-    t = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    ys = box[1] + t * jnp.maximum(box[3] - box[1], 1.0)
-    xs = box[0] + t * jnp.maximum(box[2] - box[0], 1.0)
-    valid = ((ys >= 0) & (ys < h))[:, None] & ((xs >= 0) & (xs < w))[None, :]
-    yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
-    xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
-    return img[yi[:, None], xi[None, :]], valid
+    yi, xi, valid = _box_window_indices(box[None], h, w, s)
+    return img[yi[0, :, None], xi[0, None, :]], valid[0]
+
+
+def _box_window_batch(imgs, img_idx, boxes, s=BOX_SAMPLE_GRID):
+    """Batched `_box_window` over N ROIs drawn from a (B, H, W) plane stack.
+
+    One fused XLA gather for all ROIs: a vmapped `imgs[img_i][...]` would
+    first materialize an (N, H, W) per-ROI copy of the source planes
+    (~330 MB at train shapes), which dominated the weak-step depth loss.
+    """
+    h, w = imgs.shape[1:]
+    yi, xi, valid = _box_window_indices(boxes, h, w, s)
+    win = imgs[img_idx[:, None, None], yi[:, :, None], xi[:, None, :]]
+    return win, valid
+
+
+def _box_window_batch_masks(masks, img_idx, gt_idx, boxes, s=BOX_SAMPLE_GRID):
+    """Batched `_box_window` over N ROIs drawn from (B, M, Hm, Wm) GT masks,
+    selecting mask `gt_idx[n]` of image `img_idx[n]` — again one fused
+    gather instead of per-ROI full-plane slices."""
+    hm, wm = masks.shape[2:]
+    yi, xi, valid = _box_window_indices(boxes, hm, wm, s)
+    win = masks[img_idx[:, None, None], gt_idx[:, None, None], yi[:, :, None], xi[:, None, :]]
+    return win, valid
 
 
 class ROIHeads3DScore(ROIHeads3D):
@@ -267,11 +313,6 @@ class ROIHeads3DScore(ROIHeads3D):
         if "z_pseudo_gt_patch" in loss_functions:
             # median depth inside the (clamped) projected box, subsampled 2x
             ds = depth_maps[:, ::2, ::2]
-
-            def box_median(img_idx, box):
-                win, vm = _box_window(ds[img_idx], box / 2.0)
-                return masked_quantile(win, vm, 0.5)
-
             img_idx = jnp.repeat(jnp.arange(b), f)
             boxes_cl = jnp.stack(
                 [
@@ -282,7 +323,8 @@ class ROIHeads3DScore(ROIHeads3D):
                 ],
                 axis=1,
             )
-            gt_z = jax.vmap(box_median)(img_idx, boxes_cl)
+            win, vm = _box_window_batch(ds, img_idx, boxes_cl / 2.0)
+            gt_z = masked_quantile_batch(win.reshape(n, -1), vm.reshape(n, -1), 0.5)
             per_loss["loss_pseudo_gt_z"] = (
                 smooth_l1(out["z"], jax.lax.stop_gradient(gt_z)), ch.loss_w_z,
             )
@@ -302,14 +344,12 @@ class ROIHeads3DScore(ROIHeads3D):
             per_loss["loss_dims_h"] = (zsc[:, 1], ch.loss_w_dims)
             per_loss["loss_dims_l"] = (zsc[:, 2], ch.loss_w_dims)
 
-        seg_needed = "segmentation" in loss_functions or "depth" in loss_functions
-        masks_per = None
-        if seg_needed and gt_masks is not None:
-            hm, wm = gt_masks.shape[2:]
+        # the depth loss only ever samples s x s windows of the GT masks, so
+        # materialize the full (N, Hm, Wm) per-ROI mask gather only for the
+        # segmentation loss, which consumes whole planes
+        if "segmentation" in loss_functions and gt_masks is not None:
             img_idx = jnp.repeat(jnp.arange(b), f)
             masks_per = gt_masks[img_idx, sampled.gt_index.reshape(-1)].astype(jnp.float32)  # (N, Hm, Wm)
-
-        if "segmentation" in loss_functions and masks_per is not None:
             hm, wm = masks_per.shape[1:]
             sub = h / hm  # mask canvas subsampling factor
             box6 = jnp.concatenate([centers, dims], axis=-1)
@@ -329,30 +369,23 @@ class ROIHeads3DScore(ROIHeads3D):
             pred_range = corner_z.max(-1) - corner_z.min(-1)
             ds = depth_maps[:, ::2, ::2]
             img_idx = jnp.repeat(jnp.arange(b), f)
-            if masks_per is not None:
+            dwin, dvm = _box_window_batch(ds, img_idx, gt_boxes / 2.0)
+            if gt_masks is not None:
                 # sample depth + instance mask on the same window grid
                 # inside the GT box; quantiles restricted to mask==1
-                hm, wm = masks_per.shape[1:]
+                hm, wm = gt_masks.shape[2:]
                 mask_scale = jnp.asarray([wm / w, hm / h, wm / w, hm / h])
-
-                def range_of(img_i, gt_i, box):
-                    dwin, dvm = _box_window(ds[img_i], box / 2.0)
-                    mwin, _ = _box_window(gt_masks[img_i, gt_i].astype(jnp.float32), box * mask_scale)
-                    sel = (mwin > 0.5) & dvm
-                    q9 = masked_quantile(dwin, sel, 0.9)
-                    q1 = masked_quantile(dwin, sel, 0.1)
-                    return jnp.where(jnp.any(sel), q9 - q1, 0.0)
-
-                gt_range = jax.vmap(range_of)(
-                    img_idx, sampled.gt_index.reshape(-1), gt_boxes
+                mwin, _ = _box_window_batch_masks(
+                    gt_masks, img_idx, sampled.gt_index.reshape(-1),
+                    gt_boxes * mask_scale[None, :],
                 )
+                sel = (mwin.astype(jnp.float32) > 0.5) & dvm
             else:
-
-                def range_of(img_i, box):
-                    dwin, dvm = _box_window(ds[img_i], box / 2.0)
-                    return masked_quantile(dwin, dvm, 0.9) - masked_quantile(dwin, dvm, 0.1)
-
-                gt_range = jax.vmap(range_of)(img_idx, gt_boxes)
+                sel = dvm
+            sel2 = sel.reshape(n, -1)
+            dwin2 = dwin.reshape(n, -1)
+            q9, q1 = masked_quantile_batch(dwin2, sel2, 0.9, 0.1)
+            gt_range = jnp.where(jnp.any(sel2, axis=-1), q9 - q1, 0.0)
             per_loss["loss_depth"] = (
                 smooth_l1(jax.lax.stop_gradient(gt_range), pred_range), ch.loss_w_depth,
             )

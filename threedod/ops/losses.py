@@ -67,6 +67,9 @@ def safely_reduce_losses(loss: jnp.ndarray, mask: jnp.ndarray | None = None) -> 
 
     Parity: ROIHeads3D.safely_reduce_losses (roi_heads.py:2843-2851).
     """
+    loss = jnp.asarray(loss)  # tolerate a python-float 0.0 (empty loss menu)
+    if loss.ndim == 0 and mask is not None:
+        loss = jnp.broadcast_to(loss, mask.shape)
     finite = jnp.isfinite(loss)
     if mask is not None:
         finite = finite & mask

@@ -8,4 +8,5 @@ from .scorefunction import (
     score_point_cloud,
     score_ratios,
     score_segmentation,
+    score_segmentation_pair,
 )

@@ -134,6 +134,26 @@ def score_mod_segmentation(segmentation_mask: jnp.ndarray, bube_corners: jnp.nda
     return jax.vmap(one)(bube_corners)
 
 
+def score_segmentation_pair(segmentation_mask: jnp.ndarray, bube_corners: jnp.ndarray, sub: int = 4):
+    """(score_segmentation, score_mod_segmentation) from ONE hull fill.
+
+    The hull rasterization over P proposals dominates both scores; computing
+    inter/union counts once halves the propose-and-score segmentation stage.
+    """
+    h, w = segmentation_mask.shape
+    seg = segmentation_mask[::sub, ::sub] > 0.5
+
+    def one(corners):
+        bm = _bube_mask(corners, h, w, sub)
+        return jnp.sum(seg & bm).astype(jnp.float32), jnp.sum(seg | bm).astype(jnp.float32)
+
+    inter, union = jax.vmap(one)(bube_corners)
+    safe_u = jnp.maximum(union, 1)
+    iou = jnp.where(inter == 0, 0.0, inter / safe_u)
+    mod = jnp.where(inter == 0, 0.0, inter**5 / safe_u)
+    return iou, mod
+
+
 def score_dimensions(prior_mean, prior_std, dimensions, gt_box, pred_boxes) -> jnp.ndarray:
     """Prior gaussian x 2D-aspect-ratio penalty (reference :144-160).
 

@@ -96,6 +96,46 @@ class TestWeakLossPrimitives:
         win, valid = _box_window(img, jnp.asarray([1.0, 1.0, 6.0, 6.0]), s=8)
         assert bool(valid.all())
 
+    def test_box_window_batch_matches_per_roi(self):
+        # the fused-gather batch path must agree exactly with the per-ROI
+        # reference (_box_window) for planes, mask stacks, and quantiles
+        from threedod.models.weak_heads import (
+            _box_window,
+            _box_window_batch,
+            _box_window_batch_masks,
+            masked_quantile,
+            masked_quantile_batch,
+        )
+
+        rng = np.random.RandomState(0)
+        b, m, h, w, nroi = 3, 4, 24, 32, 16
+        imgs = jnp.asarray(rng.rand(b, h, w).astype(np.float32))
+        masks = jnp.asarray((rng.rand(b, m, h, w) > 0.5).astype(np.uint8))
+        xy = rng.uniform(-8, 28, (nroi, 2)).astype(np.float32)
+        wh = rng.uniform(2, 30, (nroi, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        img_idx = jnp.asarray(rng.randint(0, b, nroi))
+        gt_idx = jnp.asarray(rng.randint(0, m, nroi))
+
+        wins, valids = _box_window_batch(imgs, img_idx, boxes, s=8)
+        mwins, mvalids = _box_window_batch_masks(masks, img_idx, gt_idx, boxes, s=8)
+        for i in range(nroi):
+            ref_w, ref_v = _box_window(imgs[int(img_idx[i])], boxes[i], s=8)
+            assert np.array_equal(np.asarray(wins[i]), np.asarray(ref_w))
+            assert np.array_equal(np.asarray(valids[i]), np.asarray(ref_v))
+            ref_mw, ref_mv = _box_window(
+                masks[int(img_idx[i]), int(gt_idx[i])], boxes[i], s=8
+            )
+            assert np.array_equal(np.asarray(mwins[i]), np.asarray(ref_mw))
+            assert np.array_equal(np.asarray(mvalids[i]), np.asarray(ref_mv))
+
+        q5, q9 = masked_quantile_batch(
+            wins.reshape(nroi, -1), valids.reshape(nroi, -1), 0.5, 0.9
+        )
+        for i in range(nroi):
+            assert float(q5[i]) == float(masked_quantile(wins[i], valids[i], 0.5))
+            assert float(q9[i]) == float(masked_quantile(wins[i], valids[i], 0.9))
+
 
 def weak_cfg():
     cfg = Config()

@@ -139,6 +139,12 @@ class TestScoring:
         assert s[0] > 0.7 and s[1] < 0.1
         sm = np.asarray(score_mod_segmentation(mask, jnp.stack([good, bad])))
         assert sm[0] > sm[1]
+        # the shared-fill pair path must agree exactly with the individual fns
+        from threedod.scoring import score_segmentation_pair
+
+        ps, pm = score_segmentation_pair(mask, jnp.stack([good, bad]))
+        assert np.array_equal(np.asarray(ps), s)
+        assert np.array_equal(np.asarray(pm), sm)
 
     def test_score_corners_prefers_matching(self):
         mask = jnp.zeros((H, W)).at[30:70, 40:90].set(1.0)

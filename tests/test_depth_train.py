@@ -176,12 +176,21 @@ class TestTrainDepthCLI:
         import sys
 
         out = tmp_path / "run"
+        argv = ["tools/train_depth.py", "--synthetic",
+                "--encoder", "vits", "--img-size", "28", "--epochs", "1",
+                "--bs", "8", "--save-path", str(out)]
+        # JAX_PLATFORMS=cpu in the env is NOT enough: the sitecustomize's
+        # axon registration pins the TPU platform, so the smoke would run
+        # over the relay (and hang if it is down). Force CPU in-process
+        # before handing off to the CLI (the tests/test_tools.py pattern).
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu'); "
+            f"import sys, runpy; sys.argv={argv!r}; "
+            f"runpy.run_path({argv[0]!r}, run_name='__main__')"
+        )
         r = subprocess.run(
-            [sys.executable, "tools/train_depth.py", "--synthetic",
-             "--encoder", "vits", "--img-size", "28", "--epochs", "1",
-             "--bs", "8", "--save-path", str(out)],
+            [sys.executable, "-c", code],
             capture_output=True, text=True, cwd="/root/repo",
-            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
             timeout=900,
         )
         assert r.returncode == 0, r.stderr[-2000:]

@@ -213,4 +213,5 @@ class TestIdSpaceConsistency:
         helper = Omni3DEvaluationHelper(["ds"], ["a", "b"], id_map)
         res = helper.evaluate("ds", gts, preds)
         assert abs(res["AP2D"] - 100.0) < 1e-6, res
-        assert set(res["percat2D"]) == {10, 20}
+        # percat tables are keyed by category NAME (VisualiseGT consumes them)
+        assert set(res["percat2D"]) == {"a", "b"}

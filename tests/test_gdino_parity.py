@@ -101,8 +101,7 @@ class TestSwinParity:
         sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
         official = hf_swin_to_official(sd, depths, prefix="", out="backbone.0.")
 
-        # reuse the production converter's swin section
-        full = convert_groundingdino.__wrapped__ if hasattr(convert_groundingdino, "__wrapped__") else None
+        # rebuild the swin param tree with the production converter's helpers
         from threedod.utils import convert_weights as cw
 
         bb = {

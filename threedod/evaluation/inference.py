@@ -206,6 +206,12 @@ class Omni3DEvaluationHelper:
         self.results: Dict[str, dict] = {}
         self._union_evals = {"2D": [], "3D": []}
 
+    def _cat_name(self, dataset_id) -> str:
+        ci = self.id_map.get(dataset_id)
+        if ci is not None and 0 <= ci < len(self.category_names):
+            return self.category_names[ci]
+        return str(dataset_id)
+
     def evaluate(self, dataset_name: str, gts: List[dict], dts: List[dict]) -> dict:
         eval_prox = any(dataset_name.startswith(p) for p in PROX_DATASETS)
         res = {}
@@ -222,9 +228,11 @@ class Omni3DEvaluationHelper:
                 res["AP3D_near"] = stats[4] * 100
                 res["AP3D_med"] = stats[5] * 100
                 res["AP3D_far"] = stats[6] * 100
-            # category ids are already dataset ids on both sides
+            # category ids are dataset ids on both sides; key the table by
+            # category NAME (the reference's logperf tables and the
+            # VisualiseGT result plots both consume names)
             res[f"percat{mode}"] = {
-                c: ap * 100 for c, ap in ev.per_category_ap().items()
+                self._cat_name(c): ap * 100 for c, ap in ev.per_category_ap().items()
             }
             self._union_evals[mode].append(ev)
         self.results[dataset_name] = res

@@ -14,6 +14,7 @@ compositing rules — no GPU renderer dependency, TPU untouched.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Optional, Sequence
 
 import numpy as np
@@ -36,15 +37,11 @@ def _project(K: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 def euler2mat(euler):
     """XYZ-intrinsic euler to rotation matrix (util.euler2mat contract used
-    for the default novel view, vis.py:236)."""
-    x, y, z = euler
-    cx, sx = np.cos(x), np.sin(x)
-    cy, sy = np.cos(y), np.sin(y)
-    cz, sz = np.cos(z), np.sin(z)
-    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-    return (Rz @ Ry @ Rx).astype(np.float64)
+    for the default novel view, vis.py:236) — host-side wrapper over the
+    one shared implementation in geometry.rotations."""
+    from ..geometry.rotations import euler_to_matrix
+
+    return np.asarray(euler_to_matrix(np.asarray(euler, np.float64))).astype(np.float64)
 
 
 def draw_text(img: Image.Image, text: str, pos, color=(0, 255, 255)):
@@ -388,7 +385,9 @@ def draw_scene_view(
         try:
             return int(labels[i])
         except (TypeError, ValueError):
-            return abs(hash(str(labels[i]))) % 10000
+            # stable across processes (hash() is PYTHONHASHSEED-randomized,
+            # which would recolor categories on every invocation)
+            return zlib.crc32(str(labels[i]).encode()) % 10000
 
     if colors is None:
         colors = [get_color(_color_idx(i)) for i in range(n)]

@@ -96,10 +96,11 @@ def main():
         return time.perf_counter() - t0
 
     run(2)
-    short = max(2, args.steps // 5)
+    steps = max(args.steps, 3)  # difference-of-two-counts needs steps > short
+    short = max(2, steps // 5)
     d_s = run(short)
-    d_l = run(args.steps)
-    dt = (d_l - d_s) / (args.steps - short)
+    d_l = run(steps)
+    dt = (d_l - d_s) / (steps - short)
     print(f"{args.mode}: {dt * 1000:.1f} ms/step "
           f"({cfg.solver.ims_per_batch / dt:.1f} im/s)")
 

@@ -40,6 +40,7 @@ def timed(fn, args, iters, warmup=2):
         return time.perf_counter() - t0
 
     run(warmup)
+    iters = max(iters, 3)  # difference-of-two-counts needs iters > short
     short = max(2, iters // 5)
     d_s = run(short)
     d_l = run(iters)

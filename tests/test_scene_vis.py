@@ -28,6 +28,13 @@ K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
 W, H = 640, 480
 
 
+def _cross2(a, b):
+    """2-D cross product (np.cross on 2-vectors is deprecated in numpy 2)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
 def _corners(boxes, Rs=None):
     b = jnp.asarray(boxes, jnp.float32)
     r = None if Rs is None else jnp.asarray(Rs, jnp.float32)
@@ -43,7 +50,7 @@ def _hull_mask(pts2d, w, h):
     def half(pp):
         out = []
         for p in pp:
-            while len(out) >= 2 and np.cross(
+            while len(out) >= 2 and _cross2(
                 np.subtract(out[-1], out[-2]), np.subtract(p, out[-2])
             ) <= 0:
                 out.pop()

@@ -22,6 +22,13 @@ from threedod.geometry import estimate_truncation
 from threedod.geometry.cuboids import cuboid_verts
 
 
+def _cross2(a, b):
+    """2-D cross product (np.cross on 2-vectors is deprecated in numpy 2)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
 def _random_boxes(rng, n, spread=4.0):
     xyz = np.stack(
         [rng.uniform(-spread, spread, n), rng.uniform(-spread / 2, spread / 2, n),
@@ -78,7 +85,7 @@ def _silhouette_truncation(box6, R, res=160):
         def half(pp):
             out = []
             for p in pp:
-                while len(out) >= 2 and np.cross(
+                while len(out) >= 2 and _cross2(
                     np.subtract(out[-1], out[-2]), np.subtract(p, out[-2])
                 ) <= 0:
                     out.pop()
@@ -92,7 +99,7 @@ def _silhouette_truncation(box6, R, res=160):
     inside = np.ones(len(g), bool)
     for i in range(len(hp)):
         a, b2 = hp[i], hp[(i + 1) % len(hp)]
-        inside &= np.cross(b2 - a, g - a) >= 0
+        inside &= _cross2(b2 - a, g - a) >= 0
     in_img = (g[:, 0] >= 0) & (g[:, 0] <= W - 1) & (g[:, 1] >= 0) & (g[:, 1] <= H - 1)
     total = inside.sum()
     if total == 0:

@@ -22,7 +22,35 @@ from .block_conv import (
     space_to_depth,
     tile_block_channels,
 )
-from .layers import ConvBN, ConvBNParams, max_pool
+from .layers import ConvBN, ConvBNParams, fold_convbn, max_pool
+from ...ops import fused_conv
+
+
+class _BBFoldParams(nn.Module):
+    """Eval-folded weights of a BasicBlock's two ConvBNs. Variable tree is
+    identical to BasicBlock's (conv1/conv2 ConvBN layouts), so the fused and
+    unfused paths share checkpoints."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = fold_convbn(*ConvBNParams(self.features, 3, self.cin, name="conv1")())
+        w2, b2 = fold_convbn(*ConvBNParams(self.features, 3, self.features, name="conv2")())
+        return (w1, b1, w2, b2)
+
+
+class _RootFoldParams(nn.Module):
+    """Eval-folded weights of a Root's 1x1 ConvBN (variable tree = Root's)."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        w, b = fold_convbn(*ConvBNParams(self.features, 1, self.cin, name="conv")())
+        return w.reshape(self.cin, self.features), b
 
 
 def block_convbn(
@@ -141,9 +169,49 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = self.block(self.features, self.stride, dtype=self.dtype, name="tree1")(x, residual, train=train)
-            x2 = self.block(self.features, 1, dtype=self.dtype, name="tree2")(x1, train=train)
-            out = Root(self.features, self.root_residual, dtype=self.dtype, name="root")([x2, x1] + children, train)
+            # Eval fast path: fuse the stride-1 tail (tree2 [+ tree1] + root)
+            # into one Pallas kernel so x1/x2 stay in VMEM (ops/fused_conv.py).
+            fuse_ht = None
+            if not train and self.block is BasicBlock and fused_conv.fused_conv_available():
+                oh, ow = x.shape[1] // self.stride, x.shape[2] // self.stride
+                two = self.stride == 1 and not self.project
+                if all(ch.shape[1] == oh and ch.shape[2] == ow for ch in children):
+                    fuse_ht = fused_conv.pick_row_tile(oh, ow, self.features, two)
+            if fuse_ht is not None and self.stride > 1:
+                x1 = self.block(self.features, self.stride, dtype=self.dtype, name="tree1")(x, residual, train=train)
+                bb_b = _BBFoldParams(self.features, self.features, name="tree2")()
+                ctot = 2 * self.features + sum(ch.shape[-1] for ch in children)
+                wr, br = _RootFoldParams(self.features, ctot, name="root")()
+                out = fused_conv.fused_tree_tail(
+                    x1, tuple(children), None, bb_b, wr, br,
+                    two_blocks=False, include_input_child=False,
+                    root_residual=self.root_residual, ht=fuse_ht,
+                    interpret=fused_conv.kernel_interpret(),
+                )
+            elif fuse_ht is not None:
+                # stride 1, no projection: tree1's residual is x itself, and
+                # the last child (appended by the outer tree) IS x — read it
+                # from the already-resident input tile instead of re-fetching
+                bb_a = _BBFoldParams(self.features, x.shape[-1], name="tree1")()
+                bb_b = _BBFoldParams(self.features, self.features, name="tree2")()
+                incl = bool(children) and children[-1] is x
+                ch_list = children[:-1] if incl else children
+                ctot = (
+                    2 * self.features
+                    + sum(c2.shape[-1] for c2 in ch_list)
+                    + (self.features if incl else 0)
+                )
+                wr, br = _RootFoldParams(self.features, ctot, name="root")()
+                out = fused_conv.fused_tree_tail(
+                    x, tuple(ch_list), bb_a, bb_b, wr, br,
+                    two_blocks=True, include_input_child=incl,
+                    root_residual=self.root_residual, ht=fuse_ht,
+                    interpret=fused_conv.kernel_interpret(),
+                )
+            else:
+                x1 = self.block(self.features, self.stride, dtype=self.dtype, name="tree1")(x, residual, train=train)
+                x2 = self.block(self.features, 1, dtype=self.dtype, name="tree2")(x1, train=train)
+                out = Root(self.features, self.root_residual, dtype=self.dtype, name="root")([x2, x1] + children, train)
         else:
             x1 = Tree(
                 self.levels - 1, self.block, self.features, self.stride,
@@ -198,6 +266,18 @@ class _FastLevel2(nn.Module):
         else:
             residual = bottom
         x1 = _FastBlockDown(self.features, c1, dtype=self.dtype, name="tree1")(yb, residual, train=train)
+        fuse_ht = None
+        if not train and fused_conv.fused_conv_available():
+            fuse_ht = fused_conv.pick_row_tile(x1.shape[1], x1.shape[2], self.features)
+        if fuse_ht is not None:
+            bb_b = _BBFoldParams(self.features, self.features, name="tree2")()
+            wr, br = _RootFoldParams(self.features, 2 * self.features, name="root")()
+            return fused_conv.fused_tree_tail(
+                x1, (), None, bb_b, wr, br,
+                two_blocks=False, include_input_child=False,
+                root_residual=self.root_residual, ht=fuse_ht,
+                interpret=fused_conv.kernel_interpret(),
+            )
         x2 = BasicBlock(self.features, 1, dtype=self.dtype, name="tree2")(x1, train=train)
         return Root(self.features, self.root_residual, dtype=self.dtype, name="root")([x2, x1], train)
 

@@ -119,11 +119,8 @@ class ConvBN(nn.Module):
             )
 
         if not train:
-            scale, bias, mean, var = bn()
-            s = scale * jax.lax.rsqrt(var + self.eps)  # f32 (features,)
-            w = (kernel * s).astype(self.dtype)        # fold along out-channel axis
-            b = (bias - mean * s).astype(self.dtype)
-            y = conv(x.astype(self.dtype), w) + b
+            w, b = fold_convbn(kernel, *bn(), self.eps)  # f32 fold
+            y = conv(x.astype(self.dtype), w.astype(self.dtype)) + b.astype(self.dtype)
         else:
             y = conv(x.astype(self.dtype), kernel.astype(self.dtype))
             yf = y.astype(jnp.float32)
@@ -136,6 +133,16 @@ class ConvBN(nn.Module):
         if self.relu:
             y = nn.relu(y)
         return y.astype(self.dtype)
+
+
+def fold_convbn(kernel, scale, bias, mean, var, eps: float = 1e-5):
+    """Eval-time BN fold: returns (w, b) with conv(x, w) + b == bn(conv(x, k)).
+
+    Same math as ConvBN's eval branch; used by the fused trunk kernels,
+    which consume raw folded weights instead of applying the conv here.
+    """
+    s = scale * jax.lax.rsqrt(var + eps)
+    return kernel * s, bias - mean * s
 
 
 def max_pool(x, window: int, stride: int, padding: int = 0):

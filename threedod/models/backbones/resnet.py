@@ -11,7 +11,8 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBN, max_pool
+from .layers import ConvBN, ConvBNParams, fold_convbn, max_pool
+from ...ops import fused_conv
 
 
 class ResBasicBlock(nn.Module):
@@ -22,6 +23,23 @@ class ResBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (
+            not train
+            and self.stride == 1
+            and not self.downsample
+            and x.shape[-1] == self.features
+            and fused_conv.fused_conv_available()
+        ):
+            # Eval fast path: one Pallas kernel, intermediate stays in VMEM
+            # (ops/fused_conv.py); identical variable tree (conv1/conv2).
+            ht = fused_conv.pick_row_tile(x.shape[1], x.shape[2], self.features)
+            if ht is not None:
+                w1, b1 = fold_convbn(*ConvBNParams(self.features, 3, x.shape[-1], name="conv1")())
+                w2, b2 = fold_convbn(*ConvBNParams(self.features, 3, self.features, name="conv2")())
+                return fused_conv.fused_basic_block(
+                    x.astype(self.dtype), w1, b1, w2, b2,
+                    ht=ht, interpret=fused_conv.kernel_interpret(),
+                )
         identity = x
         out = ConvBN(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype, name="conv2")(out, train)

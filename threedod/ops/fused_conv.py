@@ -1,0 +1,377 @@
+"""Fused residual-conv kernels for trunk inference (Pallas, TPU).
+
+The DLA/ResNet trunks are HBM-bandwidth-bound under stock XLA: every
+conv3x3 round-trips its activations through HBM (docs/DESIGN.md section 9b
+— 4.3 GB/step at bs8 512x672 after BN folding, ~77% of v5e peak). These
+kernels keep whole residual subgraphs' intermediates in VMEM:
+
+* ``fused_basic_block`` — the torchvision/DLA BasicBlock
+  ``relu(conv3x3(relu(conv3x3(x)+b1))+b2 + x)`` as ONE kernel
+  (reference topology: cubercnn/modeling/backbone/dla.py:27-56 and
+  torchvision resnet BasicBlock via cubercnn/modeling/backbone/resnet.py).
+* ``fused_tree_tail`` — a DLA ``Tree(levels==1)`` tail: one or two
+  stride-1 BasicBlocks plus the Root 1x1-concat-conv
+  (cubercnn/modeling/backbone/dla.py:134-175), so ``x1``/``x2`` never
+  materialise in HBM.
+
+Kernel scheme (per (image, row-tile) grid step):
+- the main tile rows ride a Blocked auto-pipelined input; the halo rows
+  (2 per conv in the chain) come from an HBM alias of ``x`` via two small
+  DMAs, clamped at the image edges (out-of-image rows are zeroed by a
+  validity mask, reproducing conv zero padding);
+- each conv3x3 = 2 width-shift copies (explicit zero edge columns) + 9 MXU
+  matmuls on row slices of the flattened ``(rows*Wp, C)`` buffer, where
+  ``Wp`` pads the width to the sublane tile so every reshape/slice is
+  layout-free;
+- f32 accumulation, compute-dtype (bf16) storage between convs — exactly
+  the XLA ConvBN chain's dtype behaviour, so outputs match the unfused
+  path to bf16 rounding.
+
+Eval-only (BN is folded into the conv weights by the caller); training
+keeps the stock XLA path, whose backward XLA already handles well.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "fused_basic_block",
+    "fused_tree_tail",
+    "fused_conv_available",
+    "pick_row_tile",
+    "basic_block_reference",
+    "tree_tail_reference",
+]
+
+
+# Tests set this to exercise the fused model paths on CPU via the Pallas
+# interpreter (the kernels themselves are TPU-only).
+FORCE_INTERPRET = False
+
+# Gate for the real-hardware path: numerics are equivalence-tested on CPU
+# (tests/test_fused_conv.py), but the compiled kernels have not yet been
+# timed on a v5e (axon relay outage at commit time) — flipped on once the
+# hardware parity+speedup run lands, so an unmeasured kernel can never sit
+# on the bench path.
+ENABLE_ON_TPU = False
+
+
+def fused_conv_available() -> bool:
+    return FORCE_INTERPRET or (ENABLE_ON_TPU and jax.default_backend() == "tpu")
+
+
+def kernel_interpret() -> bool:
+    return FORCE_INTERPRET and jax.default_backend() != "tpu"
+
+
+def pick_row_tile(h: int, w: int, c: int, two_blocks: bool = False) -> int | None:
+    """Largest row-tile in {32, 16, 8} dividing H that keeps the working set
+    well under VMEM; None when the shape is not fusable."""
+    for ht in (32, 16, 8):
+        if h % ht:
+            continue
+        n = ht + (8 if two_blocks else 4)
+        wp = _align(max(w, 1), 16)
+        # ~9 live (n, Wp, C)-class bf16 buffers (shifts, t, x1, x2, f32 acc ~2x)
+        if n * wp * max(c, 128) * 2 * 9 < 12 * 1024 * 1024:
+            return ht
+    return None
+
+
+def _align(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _conv3x3_flat(shift_flats, wflat, row_off, n_out, wp, c):
+    """Accumulate the 9 taps of a 3x3 conv on flattened shifted buffers.
+
+    shift_flats = (x[:, w-1], x, x[:, w+1]) each flattened to (n*wp, C);
+    returns f32 (n_out*wp, Cout) for output buffer rows
+    [row_off, row_off+n_out).
+    """
+    cout = wflat.shape[-1]
+    acc = jnp.zeros((n_out * wp, cout), jnp.float32)
+    for dy in range(3):
+        lo = (row_off - 1 + dy) * wp
+        for dx in range(3):
+            s = shift_flats[dx][lo : lo + n_out * wp]
+            acc = acc + jnp.dot(
+                s,
+                wflat[(dy * 3 + dx) * c : (dy * 3 + dx + 1) * c],
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _shifts(x3d):
+    """(x[:, w-1], x, x[:, w+1]) with zero edge columns (= image zero pad),
+    flattened to (n*wp, C)."""
+    n, wp, c = x3d.shape
+    zcol = jnp.zeros((n, 1, c), x3d.dtype)
+    sp1 = jnp.concatenate([zcol, x3d[:, : wp - 1]], axis=1)
+    sm1 = jnp.concatenate([x3d[:, 1:], zcol], axis=1)
+    m = n * wp
+    return (sp1.reshape(m, c), x3d.reshape(m, c), sm1.reshape(m, c))
+
+
+def _basic_block_tile(x3d, w1, b1, w2, b2, r0_img, H, W, Wp, dtype):
+    """BasicBlock on a halo'd (n, Wp, C) buffer whose row 0 is image row
+    ``r0_img``; returns the (n-4, Wp, C) output for buffer rows [2, n-2),
+    zeroed outside the image extent (so it can feed another conv)."""
+    n, wp, c = x3d.shape
+    acc1 = _conv3x3_flat(_shifts(x3d), w1, 1, n - 2, wp, c)
+    t = jax.nn.relu(acc1 + b1.astype(jnp.float32))
+    t_row = r0_img + 1 + jax.lax.broadcasted_iota(jnp.int32, (n - 2, wp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n - 2, wp), 1)
+    t_keep = (t_row >= 0) & (t_row < H) & (col < W)
+    t = jnp.where(t_keep.reshape((n - 2) * wp, 1), t, 0.0).astype(dtype)
+    t = t.reshape(n - 2, wp, c)
+    acc2 = _conv3x3_flat(_shifts(t), w2, 1, n - 4, wp, c)
+    y = acc2 + b2.astype(jnp.float32)
+    y = y + x3d[2 : n - 2].reshape((n - 4) * wp, c).astype(jnp.float32)
+    y = jax.nn.relu(y)
+    y_row = r0_img + 2 + jax.lax.broadcasted_iota(jnp.int32, (n - 4, wp), 0)
+    y_keep = (y_row >= 0) & (y_row < H) & (col[: n - 4] < W)
+    y = jnp.where(y_keep.reshape((n - 4) * wp, 1), y, 0.0)
+    return y.astype(dtype).reshape(n - 4, wp, c)
+
+
+def _load_halo_tile(x_hbm, xt_ref, xb, sem, b, r0, H, W, Wp, halo):
+    """Assemble the halo'd input tile: main rows from the pipelined block,
+    halo rows from the HBM alias (clamped; garbage rows masked after)."""
+    Ht = xt_ref.shape[1]
+    n = Ht + 2 * halo
+    top = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(jnp.clip(r0 - halo, 0, H - halo), halo), :, :],
+        xb.at[pl.ds(0, halo), pl.ds(0, W), :],
+        sem.at[0],
+    )
+    bot = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(jnp.clip(r0 + Ht, 0, H - halo), halo), :, :],
+        xb.at[pl.ds(Ht + halo, halo), pl.ds(0, W), :],
+        sem.at[1],
+    )
+    top.start()
+    bot.start()
+    xb[pl.ds(halo, Ht), pl.ds(0, W), :] = xt_ref[0]
+    top.wait()
+    bot.wait()
+    img_row = r0 - halo + jax.lax.broadcasted_iota(jnp.int32, (n, Wp), 0)
+    img_col = jax.lax.broadcasted_iota(jnp.int32, (n, Wp), 1)
+    keep = (img_row >= 0) & (img_row < H) & (img_col < W)
+    return jnp.where(keep[..., None], xb[:], 0)
+
+
+def _bb_kernel(x_hbm, xt_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, xb, sem,
+               *, H, W, Wp, Ht, dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r0 = i * Ht
+    x = _load_halo_tile(x_hbm, xt_ref, xb, sem, b, r0, H, W, Wp, halo=2)
+    y = _basic_block_tile(x, w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:],
+                          r0 - 2, H, W, Wp, dtype)
+    o_ref[:] = y[:, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ht"))
+def fused_basic_block(x, w1, b1, w2, b2, *, interpret: bool = False, ht: int = 32):
+    """relu(conv3x3(relu(conv3x3(x, w1)+b1), w2)+b2 + x) in one kernel.
+
+    x (B, H, W, C); w* are BN-folded (3, 3, C, C); H % ht == 0.
+    """
+    B, H, W, C = x.shape
+    assert w1.shape[-1] == C and H % min(ht, H) == 0
+    Ht = min(ht, H)
+    nt = H // Ht
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    Wp = _align(W, sub)
+    kernel = functools.partial(_bb_kernel, H=H, W=W, Wp=Wp, Ht=Ht, dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Ht, W, C), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Ht, W, C), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Ht + 4, Wp, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, x, w1.reshape(9 * C, C).astype(x.dtype), b1,
+      w2.reshape(9 * C, C).astype(x.dtype), b2)
+
+
+def _make_tail_kernel(H, W, Wp, Ht, halo, two_blocks, n_children,
+                      include_input_child, root_residual, dtype):
+    def kernel(*refs):
+        idx = 0
+        x_hbm = refs[idx]; idx += 1
+        xt_ref = refs[idx]; idx += 1
+        child_refs = refs[idx : idx + n_children]; idx += n_children
+        if two_blocks:
+            w1a, b1a, w2a, b2a = refs[idx : idx + 4]; idx += 4
+        w1, b1, w2, b2 = refs[idx : idx + 4]; idx += 4
+        n_wr = 2 + n_children + (1 if include_input_child else 0)
+        wr_refs = refs[idx : idx + n_wr]; idx += n_wr
+        br_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]; idx += 1
+        xb = refs[idx]; idx += 1
+        sem = refs[idx]; idx += 1
+
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * Ht
+        c = xt_ref.shape[-1]
+
+        a = _load_halo_tile(x_hbm, xt_ref, xb, sem, b, r0, H, W, Wp, halo)
+        if two_blocks:
+            x1 = _basic_block_tile(a, w1a[:], b1a[:], w2a[:], b2a[:],
+                                   r0 - halo, H, W, Wp, dtype)
+        else:
+            x1 = a
+        # x1 row 0 is image row r0-2 in both modes (two_blocks: the first BB
+        # shrinks the halo-4 buffer by 2; one_block: x1 = a with halo 2)
+        x2 = _basic_block_tile(x1, w1[:], b1[:], w2[:], b2[:],
+                               r0 - 2, H, W, Wp, dtype)
+        x2f = x2.reshape(Ht * Wp, c)
+        x1f = x1[2 : 2 + Ht].reshape(Ht * Wp, c)
+        acc = jnp.dot(x2f, wr_refs[0][:], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(x1f, wr_refs[1][:], preferred_element_type=jnp.float32)
+        k = 2
+        for j in range(n_children):
+            ch = child_refs[j][0]  # (Ht, W, Ck)
+            ck = ch.shape[-1]
+            chp = jnp.zeros((Ht, Wp, ck), ch.dtype).at[:, :W].set(ch)
+            acc = acc + jnp.dot(
+                chp.reshape(Ht * Wp, ck), wr_refs[k][:],
+                preferred_element_type=jnp.float32,
+            )
+            k += 1
+        if include_input_child:
+            af = a[halo : halo + Ht].reshape(Ht * Wp, c)
+            acc = acc + jnp.dot(af, wr_refs[k][:], preferred_element_type=jnp.float32)
+        acc = acc + br_ref[:].astype(jnp.float32)
+        if root_residual:
+            acc = acc + x2f.astype(jnp.float32)
+        out = jax.nn.relu(acc).reshape(Ht, Wp, -1)
+        o_ref[:] = out[:, :W].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("two_blocks", "include_input_child", "root_residual",
+                     "interpret", "ht"),
+)
+def fused_tree_tail(
+    x, children, bb_a, bb_b, wr, br, *,
+    two_blocks: bool = False, include_input_child: bool = False,
+    root_residual: bool = False, interpret: bool = False, ht: int = 32,
+):
+    """DLA Tree(levels==1) tail in one kernel.
+
+    one_block:  x1 = x;        x2 = BB_b(x1)
+    two_blocks: x1 = BB_a(x);  x2 = BB_b(x1)
+    out = relu(concat([x2, x1, *children] + ([x] if include_input_child))
+               @ wr + br [+ x2 if root_residual])
+
+    children are (B, H, W, Ck) tensors consumed only by the root; wr is the
+    root's folded (sum Ck_total, Cout) 1x1 kernel in that concat order.
+    """
+    B, H, W, C = x.shape
+    halo = 4 if two_blocks else 2
+    Ht = min(ht, H)
+    assert H % Ht == 0
+    nt = H // Ht
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    Wp = _align(W, sub)
+    cout = wr.shape[-1]
+
+    def flat(w):
+        return w.reshape(9 * C, C).astype(x.dtype)
+
+    args = [x, x]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, Ht, W, C), lambda b, i: (b, i, 0, 0)),
+    ]
+    for ch in children:
+        args.append(ch)
+        in_specs.append(
+            pl.BlockSpec((1, Ht, W, ch.shape[-1]), lambda b, i: (b, i, 0, 0))
+        )
+    if two_blocks:
+        w1a, b1a, w2a, b2a = bb_a
+        args += [flat(w1a), b1a, flat(w2a), b2a]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    w1, b1, w2, b2 = bb_b
+    args += [flat(w1), b1, flat(w2), b2]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    sizes = [C, C] + [ch.shape[-1] for ch in children]
+    if include_input_child:
+        sizes.append(C)
+    off = 0
+    for s in sizes:
+        args.append(wr[off : off + s].astype(x.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        off += s
+    assert off == wr.shape[0], (off, wr.shape)
+    args.append(br)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = _make_tail_kernel(
+        H, W, Wp, Ht, halo, two_blocks, len(children),
+        include_input_child, root_residual, x.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, Ht, W, cout), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Ht + 2 * halo, Wp, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------- XLA references (tests / CPU fallback semantics) ---------
+
+
+def _conv_ref(inp, w):
+    return jax.lax.conv_general_dilated(
+        inp, w.astype(inp.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def basic_block_reference(x, w1, b1, w2, b2):
+    t = jax.nn.relu(_conv_ref(x, w1) + b1.astype(x.dtype))
+    return jax.nn.relu(_conv_ref(t, w2) + b2.astype(x.dtype) + x)
+
+
+def tree_tail_reference(x, children, bb_a, bb_b, wr, br, *, two_blocks=False,
+                        include_input_child=False, root_residual=False):
+    x1 = basic_block_reference(x, *bb_a) if two_blocks else x
+    x2 = basic_block_reference(x1, *bb_b)
+    cat = [x2, x1] + list(children) + ([x] if include_input_child else [])
+    cat = jnp.concatenate(cat, axis=-1)
+    y = jnp.einsum("bhwc,cd->bhwd", cat, wr.astype(x.dtype)) + br.astype(x.dtype)
+    if root_residual:
+        y = y + x2
+    return jax.nn.relu(y)

@@ -69,6 +69,33 @@ def test_fused_tree_tail_parity(two_blocks, n_children, incl, rres):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "B,H2,W2,cin,cout,proj,pool,ht",
+    [
+        (1, 16, 24, 8, 16, True, True, 8),
+        (2, 32, 22, 8, 16, True, True, 8),
+        (1, 16, 24, 16, 16, False, True, 8),
+        (1, 16, 24, 8, 16, True, False, 8),  # resnet downsample semantics
+    ],
+)
+def test_fused_block_down_parity(B, H2, W2, cin, cout, proj, pool, ht):
+    from threedod.ops.fused_conv import block_down_reference, fused_block_down
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(B, H2, W2, cin).astype(np.float32) * 0.5)
+    w1 = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(3, 3, cout, cout).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    wp = jnp.asarray(rng.randn(1, 1, cin, cout).astype(np.float32) * 0.05) if proj else None
+    bp = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1) if proj else None
+    ref = block_down_reference(x, w1, b1, w2, b2, wp, bp, pool_residual=pool)
+    got = fused_block_down(
+        x, w1, b1, w2, b2, wp, bp, pool_residual=pool, interpret=True, ht=ht
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 @pytest.fixture
 def force_interpret():
     fused_conv.FORCE_INTERPRET = True

@@ -161,24 +161,49 @@ class Tree(nn.Module):
     def __call__(self, x, children=None, train: bool = False):
         children = [] if children is None else list(children)
         bottom = max_pool(x, self.stride, self.stride) if self.stride > 1 else x
-        if self.project:
-            residual = ConvBN(self.features, 1, relu=False, dtype=self.dtype, name="project")(bottom, train)
-        else:
-            residual = bottom
         if self.level_root:
             children.append(bottom)
 
+        # Eval fast paths (ops/fused_conv.py): fuse the stride-2 head block
+        # (+maxpool+projection) and the stride-1 tail (tree2 [+ tree1] +
+        # root) into Pallas kernels so x1/x2/residual stay in VMEM.
+        fuse_ht = fuse_head_ht = None
+        if (
+            self.levels == 1
+            and not train
+            and self.block is BasicBlock
+            and fused_conv.fused_conv_available()
+        ):
+            oh, ow = x.shape[1] // self.stride, x.shape[2] // self.stride
+            two = self.stride == 1 and not self.project
+            if all(ch.shape[1] == oh and ch.shape[2] == ow for ch in children):
+                fuse_ht = fused_conv.pick_row_tile(oh, ow, self.features, two)
+            if self.stride == 2 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                fuse_head_ht = fused_conv.pick_row_tile_down(
+                    oh, ow, x.shape[-1], self.features
+                )
+
+        wproj = bproj = residual = None
+        if self.project:
+            proj = ConvBN(self.features, 1, relu=False, dtype=self.dtype, name="project")
+            if fuse_head_ht is not None:
+                wproj, bproj = proj(None, train=False, fold_only=True, cin=x.shape[-1])
+            else:
+                residual = proj(bottom, train)
+        else:
+            residual = bottom
+
         if self.levels == 1:
-            # Eval fast path: fuse the stride-1 tail (tree2 [+ tree1] + root)
-            # into one Pallas kernel so x1/x2 stay in VMEM (ops/fused_conv.py).
-            fuse_ht = None
-            if not train and self.block is BasicBlock and fused_conv.fused_conv_available():
-                oh, ow = x.shape[1] // self.stride, x.shape[2] // self.stride
-                two = self.stride == 1 and not self.project
-                if all(ch.shape[1] == oh and ch.shape[2] == ow for ch in children):
-                    fuse_ht = fused_conv.pick_row_tile(oh, ow, self.features, two)
-            if fuse_ht is not None and self.stride > 1:
+            two_tail = fuse_ht is not None and self.stride == 1
+            if fuse_head_ht is not None:
+                bb_head = _BBFoldParams(self.features, x.shape[-1], name="tree1")()
+                x1 = fused_conv.fused_block_down(
+                    x, *bb_head, wproj, bproj, pool_residual=True,
+                    ht=fuse_head_ht, interpret=fused_conv.kernel_interpret(),
+                )
+            elif not two_tail:
                 x1 = self.block(self.features, self.stride, dtype=self.dtype, name="tree1")(x, residual, train=train)
+            if fuse_ht is not None and self.stride > 1:
                 bb_b = _BBFoldParams(self.features, self.features, name="tree2")()
                 ctot = 2 * self.features + sum(ch.shape[-1] for ch in children)
                 wr, br = _RootFoldParams(self.features, ctot, name="root")()
@@ -188,7 +213,7 @@ class Tree(nn.Module):
                     root_residual=self.root_residual, ht=fuse_ht,
                     interpret=fused_conv.kernel_interpret(),
                 )
-            elif fuse_ht is not None:
+            elif two_tail:
                 # stride 1, no projection: tree1's residual is x itself, and
                 # the last child (appended by the outer tree) IS x — read it
                 # from the already-resident input tile instead of re-fetching
@@ -209,7 +234,6 @@ class Tree(nn.Module):
                     interpret=fused_conv.kernel_interpret(),
                 )
             else:
-                x1 = self.block(self.features, self.stride, dtype=self.dtype, name="tree1")(x, residual, train=train)
                 x2 = self.block(self.features, 1, dtype=self.dtype, name="tree2")(x1, train=train)
                 out = Root(self.features, self.root_residual, dtype=self.dtype, name="root")([x2, x1] + children, train)
         else:

@@ -99,13 +99,18 @@ class ConvBN(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fold_only: bool = False, cin: int | None = None):
         pad = (self.kernel - 1) // 2 * self.dilation
-        cin = x.shape[-1]
+        cin = x.shape[-1] if x is not None else cin
         kernel = _ConvKernel(
             (self.kernel, self.kernel, cin // self.groups, self.features), name="conv"
         )()
         bn = _BNParams(self.features, name="bn")
+        if fold_only:
+            # param-only call: return the eval-folded (w, b) for callers that
+            # apply the convolution themselves (fused trunk kernels); the
+            # variable tree is identical to a normal call
+            return fold_convbn(kernel, *bn(), self.eps)
 
         def conv(inp, w):
             return jax.lax.conv_general_dilated(

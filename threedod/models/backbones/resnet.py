@@ -40,6 +40,28 @@ class ResBasicBlock(nn.Module):
                     x.astype(self.dtype), w1, b1, w2, b2,
                     ht=ht, interpret=fused_conv.kernel_interpret(),
                 )
+        if (
+            not train
+            and self.stride == 2
+            and self.downsample
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and fused_conv.fused_conv_available()
+        ):
+            # stride-2 head: conv1-s2 -> conv2 -> + downsample(x), one kernel;
+            # torchvision downsample is a 1x1 stride-2 conv (= x[::2, ::2] @ w)
+            ht = fused_conv.pick_row_tile_down(
+                x.shape[1] // 2, x.shape[2] // 2, x.shape[-1], self.features
+            )
+            if ht is not None:
+                w1, b1 = fold_convbn(*ConvBNParams(self.features, 3, x.shape[-1], name="conv1")())
+                w2, b2 = fold_convbn(*ConvBNParams(self.features, 3, self.features, name="conv2")())
+                wd, bd = fold_convbn(*ConvBNParams(self.features, 1, x.shape[-1], name="downsample")())
+                return fused_conv.fused_block_down(
+                    x.astype(self.dtype), w1, b1, w2, b2, wd, bd,
+                    pool_residual=False, ht=ht,
+                    interpret=fused_conv.kernel_interpret(),
+                )
         identity = x
         out = ConvBN(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype, name="conv2")(out, train)

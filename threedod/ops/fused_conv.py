@@ -350,6 +350,161 @@ def fused_tree_tail(
     )(*args)
 
 
+def _bd_kernel(x_hbm, xt_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+               has_proj, pool_residual, H_out, W_out, W_in, Wb, Ht, dtype):
+    if has_proj:
+        wp_ref, bp_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, xb, sem = rest
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r0 = i * Ht
+    cin = xt_ref.shape[-1]
+    c = o_ref.shape[-1]
+    n_x = 2 * Ht + 8  # input rows [2*r0-4, 2*r1+4)
+    wh = Wb // 2
+    n_p = Ht + 4
+
+    # main 2Ht rows ride the pipelined block; 4-row halos off the HBM alias
+    top = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(jnp.clip(2 * r0 - 4, 0, 2 * H_out - 4), 4), :, :],
+        xb.at[pl.ds(0, 4), pl.ds(0, W_in), :],
+        sem.at[0],
+    )
+    bot = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(jnp.clip(2 * r0 + 2 * Ht, 0, 2 * H_out - 4), 4), :, :],
+        xb.at[pl.ds(2 * Ht + 4, 4), pl.ds(0, W_in), :],
+        sem.at[1],
+    )
+    top.start()
+    bot.start()
+    xb[pl.ds(4, 2 * Ht), pl.ds(0, W_in), :] = xt_ref[0]
+    top.wait()
+    bot.wait()
+
+    img_row = 2 * r0 - 4 + jax.lax.broadcasted_iota(jnp.int32, (n_x, Wb), 0)
+    img_col = jax.lax.broadcasted_iota(jnp.int32, (n_x, Wb), 1)
+    keep = (img_row >= 0) & (img_row < 2 * H_out) & (img_col < W_in)
+    x = jnp.where(keep[..., None], xb[:], 0)
+
+    # parity planes P[py][px][k, w] = x[2k+py, 2w+px]
+    P = [[x[py::2, px::2] for px in range(2)] for py in range(2)]
+    zcol = jnp.zeros((n_p, 1, cin), x.dtype)
+    Pm = [jnp.concatenate([zcol, P[py][1][:, : wh - 1]], axis=1) for py in range(2)]
+
+    def flat(a):
+        return a.reshape(a.shape[0] * wh, cin)
+
+    # conv1 (stride 2): t row h (image) <- x rows 2h+dy-1; with buffer row 0 at
+    # image row 2r0-4, tap dy maps to (py, k0): dy=0 -> (1, 0); 1 -> (0, 1);
+    # 2 -> (1, 1). Columns: dx=0 -> P[.][1] shifted right; 1 -> P[.][0];
+    # 2 -> P[.][1].
+    n_t = Ht + 2  # t rows [r0-1, r1+1)
+    acc = jnp.zeros((n_t * wh, c), jnp.float32)
+    for dy, (py, k0) in enumerate([(1, 0), (0, 1), (1, 1)]):
+        cols = (Pm[py], P[py][0], P[py][1])
+        for dx in range(3):
+            s = flat(cols[dx])[k0 * wh : (k0 + n_t) * wh]
+            acc = acc + jnp.dot(
+                s,
+                w1_ref[(dy * 3 + dx) * cin : (dy * 3 + dx + 1) * cin],
+                preferred_element_type=jnp.float32,
+            )
+    t = jax.nn.relu(acc + b1_ref[:].astype(jnp.float32))
+    t_row = r0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (n_t, wh), 0)
+    t_col = jax.lax.broadcasted_iota(jnp.int32, (n_t, wh), 1)
+    t_keep = (t_row >= 0) & (t_row < H_out) & (t_col < W_out)
+    t = jnp.where(t_keep.reshape(n_t * wh, 1), t, 0.0).astype(dtype).reshape(n_t, wh, c)
+
+    acc2 = _conv3x3_flat(_shifts(t), w2_ref[:], 1, Ht, wh, c)
+
+    # residual: out rows [r0, r1) = plane rows [2, Ht+2)
+    if pool_residual:
+        pool = jnp.maximum(
+            jnp.maximum(P[0][0][2 : Ht + 2], P[0][1][2 : Ht + 2]),
+            jnp.maximum(P[1][0][2 : Ht + 2], P[1][1][2 : Ht + 2]),
+        ).reshape(Ht * wh, cin)
+    else:
+        pool = P[0][0][2 : Ht + 2].reshape(Ht * wh, cin)
+    if has_proj:
+        resid = jnp.dot(pool, wp_ref[:], preferred_element_type=jnp.float32)
+        resid = resid + bp_ref[:].astype(jnp.float32)
+    else:
+        resid = pool.astype(jnp.float32)
+    y = jax.nn.relu(acc2 + b2_ref[:].astype(jnp.float32) + resid)
+    o_ref[:] = y.reshape(Ht, wh, c)[:, :W_out].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pool_residual", "interpret", "ht")
+)
+def fused_block_down(x, w1, b1, w2, b2, wproj=None, bproj=None, *,
+                     pool_residual: bool = True, interpret: bool = False,
+                     ht: int = 16):
+    """Stride-2 BasicBlock head in one kernel.
+
+    t   = relu(conv3x3_s2(x, w1) + b1)
+    y   = relu(conv3x3(t, w2) + b2 + residual)
+    residual = proj(maxpool2x2_s2(x)) when pool_residual (DLA Tree head,
+    reference dla.py Tree bottom/project), else proj(x[::2, ::2]) (ResNet
+    downsample 1x1-s2 conv); proj is identity when wproj is None.
+
+    x (B, 2H, 2W, Cin) -> (B, H, W, Cout); requires even input dims.
+    """
+    B, H2, W2, Cin = x.shape
+    assert H2 % 2 == 0 and W2 % 2 == 0
+    H_out, W_out = H2 // 2, W2 // 2
+    C = w1.shape[-1]
+    Ht = min(ht, H_out)
+    assert H_out % Ht == 0
+    nt = H_out // Ht
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    Wb = _align(W2, 2 * sub)
+    has_proj = wproj is not None
+    kernel = functools.partial(
+        _bd_kernel, has_proj=has_proj, pool_residual=pool_residual,
+        H_out=H_out, W_out=W_out, W_in=W2, Wb=Wb, Ht=Ht, dtype=x.dtype,
+    )
+    args = [x, x, w1.reshape(9 * Cin, C).astype(x.dtype), b1,
+            w2.reshape(9 * C, C).astype(x.dtype), b2]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, 2 * Ht, W2, Cin), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if has_proj:
+        args += [wproj.reshape(Cin, C).astype(x.dtype), bproj]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, Ht, W_out, C), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H_out, W_out, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * Ht + 8, Wb, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def pick_row_tile_down(h_out: int, w_out: int, cin: int, cout: int) -> int | None:
+    """Row tile for fused_block_down (input tile is 4x the output tile)."""
+    for ht in (16, 8):
+        if h_out % ht:
+            continue
+        wp = _align(max(2 * w_out, 1), 32)
+        xbytes = (2 * ht + 8) * wp * max(cin, 128) * 2
+        tbytes = (ht + 4) * (wp // 2) * max(cout, 128) * 2
+        if xbytes * 3 + tbytes * 6 < 12 * 1024 * 1024:
+            return ht
+    return None
+
+
 # ---------------- XLA references (tests / CPU fallback semantics) ---------
 
 
@@ -363,6 +518,30 @@ def _conv_ref(inp, w):
 def basic_block_reference(x, w1, b1, w2, b2):
     t = jax.nn.relu(_conv_ref(x, w1) + b1.astype(x.dtype))
     return jax.nn.relu(_conv_ref(t, w2) + b2.astype(x.dtype) + x)
+
+
+def block_down_reference(x, w1, b1, w2, b2, wproj=None, bproj=None, *,
+                         pool_residual=True):
+    t = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            x, w1.astype(x.dtype), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b1.astype(x.dtype)
+    )
+    y = _conv_ref(t, w2) + b2.astype(x.dtype)
+    if pool_residual:
+        resid = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ).astype(x.dtype)
+    else:
+        resid = x[:, ::2, ::2]
+    if wproj is not None:
+        resid = (
+            jnp.einsum("bhwc,cd->bhwd", resid, wproj.reshape(x.shape[-1], -1).astype(x.dtype))
+            + bproj.astype(x.dtype)
+        )
+    return jax.nn.relu(y + resid)
 
 
 def tree_tail_reference(x, children, bb_a, bb_b, wr, br, *, two_blocks=False,

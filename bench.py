@@ -72,6 +72,37 @@ def kernel_parity_gate():
         err = float(np.abs(x - y).max() / (np.abs(y).max() + 1e-9))
         assert err < 1e-4, f"Pallas ROIAlign backward parity broke at {k}: {err}"
 
+    from threedod.ops import fused_conv
+
+    if not fused_conv.fused_conv_available():
+        return
+    # fused trunk kernels ride the same per-round gate once enabled on TPU
+    x = jnp.asarray(rng.randn(2, 32, 42, 128).astype(np.float32) * 0.5).astype(jnp.bfloat16)
+    bb = tuple(
+        jnp.asarray(a.astype(np.float32))
+        for a in (rng.randn(3, 3, 128, 128) * 0.05, rng.randn(128) * 0.1,
+                  rng.randn(3, 3, 128, 128) * 0.05, rng.randn(128) * 0.1)
+    )
+    ref = np.asarray(fused_conv.basic_block_reference(x, *bb).astype(jnp.float32))
+    got = np.asarray(fused_conv.fused_basic_block(x, *bb, ht=16).astype(jnp.float32))
+    err = float(np.abs(ref - got).max())
+    assert err < 0.1, f"fused BasicBlock parity broke: {err}"
+    wd = jnp.asarray(rng.randn(1, 1, 128, 256).astype(np.float32) * 0.05)
+    bd = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
+    bbd = tuple(
+        jnp.asarray(a.astype(np.float32))
+        for a in (rng.randn(3, 3, 128, 256) * 0.05, rng.randn(256) * 0.1,
+                  rng.randn(3, 3, 256, 256) * 0.05, rng.randn(256) * 0.1)
+    )
+    ref = np.asarray(
+        fused_conv.block_down_reference(x, *bbd, wd, bd, pool_residual=True).astype(jnp.float32)
+    )
+    got = np.asarray(
+        fused_conv.fused_block_down(x, *bbd, wd, bd, pool_residual=True, ht=8).astype(jnp.float32)
+    )
+    err = float(np.abs(ref - got).max())
+    assert err < 0.1, f"fused block-down parity broke: {err}"
+
 
 def main():
     from threedod.config import Config

@@ -1,4 +1,5 @@
 """Proposal sampler + scoring function tests."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -166,3 +167,41 @@ class TestScoring:
         a = jnp.asarray([0.9, 0.1])
         s = np.asarray(combined_score(a, a, a))
         assert abs(s[0] - 0.729) < 1e-6
+
+
+class TestHullRowIntervals:
+    """The interval rasterisation must match a brute-force hard half-plane
+    fill exactly (same inequality on pixel centers)."""
+
+    def _oracle_counts(self, mask, corners, sub):
+        from threedod.geometry.hull import convex_hull_order
+
+        h, w = mask.shape
+        hs, ws = h // sub, w // sub
+        seg = np.asarray(mask)[::sub, ::sub] > 0.5
+        hull = np.asarray(convex_hull_order(jnp.asarray(corners) / sub))
+        e = np.roll(hull, -1, axis=0) - hull
+        yy, xx = np.meshgrid(np.arange(hs), np.arange(ws), indexing="ij")
+        inside = np.ones((hs, ws), bool)
+        for (v1, ee) in zip(hull, e):
+            if (ee * ee).sum() < 1e-12:
+                continue
+            s = ee[0] * (yy - v1[1]) - ee[1] * (xx - v1[0])
+            inside &= s >= 0
+        return (seg & inside).sum(), (seg | inside).sum(), inside.sum() == 0
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_bruteforce(self, seed):
+        from threedod.scoring.scorefunction import _seg_inter_union
+
+        rng = np.random.RandomState(seed)
+        mask = jnp.asarray((rng.rand(96, 128) > 0.6).astype(np.float32))
+        corners = jnp.asarray(
+            rng.uniform(-30, 150, (16, 8, 2)).astype(np.float32)
+        )
+        inter, union, empty = _seg_inter_union(mask, corners, 4)
+        for i in range(corners.shape[0]):
+            oi, ou, oe = self._oracle_counts(mask, np.asarray(corners[i]), 4)
+            assert int(inter[i]) == int(oi), i
+            assert int(union[i]) == int(ou), i
+            assert bool(empty[i]) == bool(oe), i

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.boxes2d import matched_pairwise_iou
-from ..geometry.hull import convex_hull_mask
 from ..structures.cubes import Cubes
 
 
@@ -101,56 +100,90 @@ def score_corners(segmentation_mask: jnp.ndarray, bube_corners: jnp.ndarray) -> 
     return 1.0 - scores / max_score
 
 
-def _bube_mask(corners: jnp.ndarray, h: int, w: int, sub: int = 4) -> jnp.ndarray:
-    """Hard hull-fill of projected corners on a `sub`-subsampled grid."""
-    return convex_hull_mask(corners / sub, h // sub, w // sub) > 0.5
+def hull_row_intervals(corners: jnp.ndarray, height: int):
+    """Per-row pixel interval of a convex hull's hard rasterisation.
+
+    corners (P2, 2) -> (lo, hi, feasible) each (height,): the hull covers
+    pixel centers x in [lo, hi] on row y (empty when hi < lo or not
+    feasible). Hard half-plane semantics (pixel center inside iff
+    cross(edge, p - v1) >= 0 for every CCW hull edge) — the same fill rule
+    as cv2.fillPoly up to boundary rounding, which is what the reference's
+    score_segmentation uses (scorefunction.py:88-106).
+
+    A convex polygon intersects each scan row in one interval, so the
+    (H x W x edges) rasterisation collapses to (H x edges) bound
+    arithmetic — the propose-and-score segmentation stage drops ~100x in
+    compute.
+    """
+    from ..geometry.hull import convex_hull_order
+
+    hull = convex_hull_order(corners)
+    v1 = hull
+    e = jnp.roll(hull, -1, axis=0) - hull  # CCW edges; interior: s >= 0
+    ys = jnp.arange(height, dtype=corners.dtype)  # (H,)
+    # s(x, y) = e_x (y - v1_y) - e_y (x - v1_x) >= 0
+    num = e[:, 0, None] * (ys[None, :] - v1[:, 1, None])  # (E, H)
+    base = v1[:, 0, None] + num / jnp.where(e[:, 1, None] == 0, 1.0, e[:, 1, None])
+    big = jnp.asarray(1e9, corners.dtype)
+    degenerate = (jnp.sum(e * e, axis=1) < 1e-12)[:, None]
+    upper = jnp.where((e[:, 1, None] > 0) & ~degenerate, base, big)
+    lower = jnp.where((e[:, 1, None] < 0) & ~degenerate, base, -big)
+    feas = jnp.all(
+        jnp.where((e[:, 1, None] == 0) & ~degenerate, num >= 0, True), axis=0
+    )  # horizontal edges constrain the row, not x
+    lo = jnp.ceil(jnp.max(lower, axis=0))
+    hi = jnp.floor(jnp.min(upper, axis=0))
+    return lo, hi, feas
+
+
+def _seg_inter_union(segmentation_mask: jnp.ndarray, bube_corners: jnp.ndarray, sub: int):
+    """(intersection, union, bube-empty) pixel counts of the hard hull fill
+    vs the mask on the `sub`-subsampled grid, via row intervals + per-row
+    prefix sums — no (P, H, W) rasterisation."""
+    h, w = segmentation_mask.shape
+    hs, ws = h // sub, w // sub
+    seg = segmentation_mask[::sub, ::sub] > 0.5
+    n_seg = jnp.sum(seg)
+    # per-row prefix sums, P[r, k] = number of seg pixels in cols [0, k)
+    pref = jnp.concatenate(
+        [jnp.zeros((hs, 1), jnp.int32), jnp.cumsum(seg.astype(jnp.int32), axis=1)],
+        axis=1,
+    )  # (hs, ws+1)
+
+    def one(corners):
+        lo, hi, feas = hull_row_intervals(corners / sub, hs)
+        loc = jnp.clip(lo, 0, ws).astype(jnp.int32)
+        hic = jnp.clip(hi + 1, 0, ws).astype(jnp.int32)
+        n_row = jnp.where(feas, jnp.maximum(hic - loc, 0), 0)
+        rows = jnp.arange(hs)
+        inter_row = pref[rows, jnp.where(feas, hic, 0)] - pref[rows, jnp.where(feas, loc, 0)]
+        inter = jnp.sum(jnp.where(feas & (hic > loc), inter_row, 0))
+        n_bube = jnp.sum(n_row)
+        return inter, n_seg + n_bube - inter, n_bube == 0
+
+    return jax.vmap(one)(bube_corners)
 
 
 def score_segmentation(segmentation_mask: jnp.ndarray, bube_corners: jnp.ndarray, sub: int = 4) -> jnp.ndarray:
     """Hull-fill mask IoU at 4x subsample. (H, W), (P, 8, 2) -> (P,)."""
-    h, w = segmentation_mask.shape
-    seg = segmentation_mask[::sub, ::sub] > 0.5
-
-    def one(corners):
-        bm = _bube_mask(corners, h, w, sub)
-        inter = jnp.sum(seg & bm)
-        union = jnp.sum(seg | bm)
-        return jnp.where(inter == 0, 0.0, inter / jnp.maximum(union, 1))
-
-    return jax.vmap(one)(bube_corners)
+    inter, union, empty = _seg_inter_union(segmentation_mask, bube_corners, sub)
+    return jnp.where((inter == 0) | empty, 0.0, inter / jnp.maximum(union, 1))
 
 
 def score_mod_segmentation(segmentation_mask: jnp.ndarray, bube_corners: jnp.ndarray, sub: int = 4) -> jnp.ndarray:
     """intersection^5 / union variant (reference :108-126)."""
-    h, w = segmentation_mask.shape
-    seg = segmentation_mask[::sub, ::sub] > 0.5
-
-    def one(corners):
-        bm = _bube_mask(corners, h, w, sub)
-        inter = jnp.sum(seg & bm).astype(jnp.float32)
-        union = jnp.sum(seg | bm).astype(jnp.float32)
-        return jnp.where(inter == 0, 0.0, inter**5 / jnp.maximum(union, 1))
-
-    return jax.vmap(one)(bube_corners)
+    inter, union, empty = _seg_inter_union(segmentation_mask, bube_corners, sub)
+    inter = inter.astype(jnp.float32)
+    return jnp.where((inter == 0) | empty, 0.0, inter**5 / jnp.maximum(union.astype(jnp.float32), 1))
 
 
 def score_segmentation_pair(segmentation_mask: jnp.ndarray, bube_corners: jnp.ndarray, sub: int = 4):
-    """(score_segmentation, score_mod_segmentation) from ONE hull fill.
-
-    The hull rasterization over P proposals dominates both scores; computing
-    inter/union counts once halves the propose-and-score segmentation stage.
-    """
-    h, w = segmentation_mask.shape
-    seg = segmentation_mask[::sub, ::sub] > 0.5
-
-    def one(corners):
-        bm = _bube_mask(corners, h, w, sub)
-        return jnp.sum(seg & bm).astype(jnp.float32), jnp.sum(seg | bm).astype(jnp.float32)
-
-    inter, union = jax.vmap(one)(bube_corners)
+    """(score_segmentation, score_mod_segmentation) from ONE interval pass."""
+    inter, union, empty = _seg_inter_union(segmentation_mask, bube_corners, sub)
+    dead = (inter == 0) | empty
     safe_u = jnp.maximum(union, 1)
-    iou = jnp.where(inter == 0, 0.0, inter / safe_u)
-    mod = jnp.where(inter == 0, 0.0, inter**5 / safe_u)
+    iou = jnp.where(dead, 0.0, inter / safe_u)
+    mod = jnp.where(dead, 0.0, inter.astype(jnp.float32) ** 5 / safe_u.astype(jnp.float32))
     return iou, mod
 
 

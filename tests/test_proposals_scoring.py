@@ -205,3 +205,42 @@ class TestHullRowIntervals:
             assert int(inter[i]) == int(oi), i
             assert int(union[i]) == int(ou), i
             assert bool(empty[i]) == bool(oe), i
+
+
+def test_min_area_rect_matches_fullgrid_sweep():
+    """The row-extreme candidate sweep must give the same extents as the
+    full-grid rotation for every angle (directional extremes lie on row
+    min/max pixels)."""
+    from threedod.scoring.scorefunction import min_area_rect
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        mask = np.zeros((48, 64), np.float32)
+        cy, cx = rng.randint(10, 38), rng.randint(10, 54)
+        yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+        th = rng.rand() * np.pi
+        u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+        v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+        mask[(np.abs(u) < rng.randint(4, 18)) & (np.abs(v) < rng.randint(2, 8))] = 1
+        if mask.sum() == 0:
+            continue
+        got = np.asarray(min_area_rect(jnp.asarray(mask)))
+        # full-grid oracle
+        m = mask > 0.5
+        thetas = np.linspace(0, np.pi / 2, 90, endpoint=False)
+        best = None
+        for t in thetas:
+            uu = xx[m] * np.cos(t) + yy[m] * np.sin(t)
+            vv = -xx[m] * np.sin(t) + yy[m] * np.cos(t)
+            area = (uu.max() - uu.min()) * (vv.max() - vv.min())
+            if best is None or area < best[0]:
+                best = (area, t, uu.min(), uu.max(), vv.min(), vv.max())
+        _, t, umin, umax, vmin, vmax = best
+        ref = np.array(
+            [[umin, vmin], [umax, vmin], [umax, vmax], [umin, vmax]]
+        )
+        ref = np.stack(
+            [ref[:, 0] * np.cos(t) - ref[:, 1] * np.sin(t),
+             ref[:, 0] * np.sin(t) + ref[:, 1] * np.cos(t)], axis=1
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-3)

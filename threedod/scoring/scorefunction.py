@@ -52,19 +52,30 @@ def min_area_rect(mask: jnp.ndarray, num_angles: int = 90) -> jnp.ndarray:
     angle with the smallest area, reconstruct corners analytically.
     """
     h, w = mask.shape
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
     m = mask > 0.5
     any_pix = m.any()
+    big = 1e9
+    # Directional extremes of a pixel set lie on its convex hull, and every
+    # hull vertex is a row-wise min-x or max-x pixel of its row — so the
+    # angle sweep only needs the <=2H row-extreme candidates, not the full
+    # (angles x H x W) rotated grid (identical extents, ~2500x less work).
+    xs_row = jnp.arange(w, dtype=jnp.float32)[None, :]
+    row_has = m.any(axis=1)  # (H,)
+    xmin_row = jnp.where(m, xs_row, big).min(axis=1)
+    xmax_row = jnp.where(m, xs_row, -big).max(axis=1)
+    ys_row = jnp.arange(h, dtype=jnp.float32)
+    cand_x = jnp.concatenate([xmin_row, xmax_row])  # (2H,)
+    cand_y = jnp.concatenate([ys_row, ys_row])
+    cand_ok = jnp.concatenate([row_has, row_has])
     thetas = jnp.linspace(0.0, jnp.pi / 2, num_angles, endpoint=False)
     c, s = jnp.cos(thetas), jnp.sin(thetas)
     # rotated coordinates u = x cosθ + y sinθ, v = -x sinθ + y cosθ
-    u = xx[None] * c[:, None, None] + yy[None] * s[:, None, None]
-    v = -xx[None] * s[:, None, None] + yy[None] * c[:, None, None]
-    big = 1e9
-    u_min = jnp.where(m[None], u, big).min(axis=(1, 2))
-    u_max = jnp.where(m[None], u, -big).max(axis=(1, 2))
-    v_min = jnp.where(m[None], v, big).min(axis=(1, 2))
-    v_max = jnp.where(m[None], v, -big).max(axis=(1, 2))
+    u = cand_x[None, :] * c[:, None] + cand_y[None, :] * s[:, None]  # (A, 2H)
+    v = -cand_x[None, :] * s[:, None] + cand_y[None, :] * c[:, None]
+    u_min = jnp.where(cand_ok[None], u, big).min(axis=1)
+    u_max = jnp.where(cand_ok[None], u, -big).max(axis=1)
+    v_min = jnp.where(cand_ok[None], v, big).min(axis=1)
+    v_max = jnp.where(cand_ok[None], v, -big).max(axis=1)
     area = (u_max - u_min) * (v_max - v_min)
     i = jnp.argmin(area)
     ci, si = c[i], s[i]

@@ -156,3 +156,38 @@ def test_dla34_fused_paths_actually_engage(force_interpret):
     assert fused_conv.pick_row_tile(16, 12, 128, two_blocks=True) == 16
     assert fused_conv.pick_row_tile(8, 6, 256) == 8
     assert fused_conv.pick_row_tile(4, 3, 512) is None  # falls back cleanly
+
+
+def test_fused_conv_relu_head_parity():
+    from threedod.ops.fused_conv import conv_relu_head_reference, fused_conv_relu_head
+
+    rng = np.random.RandomState(5)
+    B, H, W, C, n_out = 2, 16, 11, 32, 15
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.5)
+    wc = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05)
+    bc = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    wh = jnp.asarray(rng.randn(C, n_out).astype(np.float32) * 0.05)
+    bh = jnp.asarray(rng.randn(n_out).astype(np.float32) * 0.1)
+    ref = conv_relu_head_reference(x, wc, bc, wh, bh)
+    got = fused_conv_relu_head(x, wc, bc, wh, bh, interpret=True, ht=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_rpn_head_fused_eval_equivalence(force_interpret):
+    from threedod.models.rpn import RPNHead
+
+    head = RPNHead(num_anchors=3, dtype=jnp.float32)
+    rng = np.random.RandomState(6)
+    feats = {
+        "p2": jnp.asarray(rng.randn(1, 32, 24, 256).astype(np.float32) * 0.5),
+        "p3": jnp.asarray(rng.randn(1, 16, 12, 256).astype(np.float32) * 0.5),
+    }
+    variables = head.init(jax.random.PRNGKey(0), feats, train=True)
+
+    fused_conv.FORCE_INTERPRET = False
+    ref_l, ref_r = head.apply(variables, feats, train=False)
+    fused_conv.FORCE_INTERPRET = True
+    got_l, got_r = head.apply(variables, feats, train=False)
+    for k in feats:
+        np.testing.assert_allclose(np.asarray(got_l[k]), np.asarray(ref_l[k]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_r[k]), np.asarray(ref_r[k]), atol=2e-4)

@@ -58,7 +58,7 @@ class BoxNet(nn.Module):
         rpn_feats = {f: feats[f] for f in c.model.rpn.in_features}
         shapes = {f: (rpn_feats[f].shape[1], rpn_feats[f].shape[2]) for f in rpn_feats}
         rpn = RPN(c, shapes)
-        logits, regs = self.rpn_head(rpn_feats)
+        logits, regs = self.rpn_head(rpn_feats, train=train)
         proposals = rpn.predict_proposals(logits, regs, batch.image_hw, train=False)
         roi_feats = {f: feats[f] for f in c.model.roi_heads.in_features}
         det = self.roi_heads.box_branch_inference(roi_feats, proposals, batch.image_hw)

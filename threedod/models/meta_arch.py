@@ -47,7 +47,7 @@ class RCNN3D(nn.Module):
         # RPN logic object: anchors derived from the (static) traced shapes
         feature_shapes = {f: (rpn_feats[f].shape[1], rpn_feats[f].shape[2]) for f in rpn_feats}
         rpn = RPN(c, feature_shapes)
-        logits, regs = self.rpn_head(rpn_feats)
+        logits, regs = self.rpn_head(rpn_feats, train=train)
 
         roi_feats = {f: feats[f] for f in c.model.roi_heads.in_features}
 

@@ -29,6 +29,7 @@ from ..ops.matcher import (
     match_candidates,
     subsample_fg_bg,
 )
+from ..ops import fused_conv
 from ..ops.nms import nms_mask
 
 
@@ -67,6 +68,18 @@ def generate_anchors(
     return out
 
 
+class _ConvWithBiasParams(nn.Module):
+    """nn.Conv's parameter tree (kernel + bias) without applying it."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
 class RPNHead(nn.Module):
     """Shared 3x3 conv + objectness/delta predictors (StandardRPNHead)."""
 
@@ -74,11 +87,39 @@ class RPNHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features: Dict[str, jnp.ndarray]):
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False):
+        a = self.num_anchors
+        cin = next(iter(features.values())).shape[-1]
+        tiles = {
+            name: fused_conv.pick_row_tile(f.shape[1], f.shape[2], 256)
+            for name, f in features.items()
+        }
+        logits, regs = {}, {}
+        if not train and fused_conv.fused_conv_available() and all(
+            t is not None for t in tiles.values()
+        ):
+            # Eval fast path (ops/fused_conv.py): conv+relu and the packed
+            # 1x1 predictor heads in one kernel per level — the 256-ch
+            # activation never round-trips HBM.
+            wc, bc = _ConvWithBiasParams((3, 3, cin, 256), name="conv")()
+            ko, bo = _ConvWithBiasParams((1, 1, 256, a), name="objectness_logits")()
+            kd, bd = _ConvWithBiasParams((1, 1, 256, a * 4), name="anchor_deltas")()
+            wh = jnp.concatenate([ko.reshape(256, a), kd.reshape(256, a * 4)], axis=-1)
+            bh = jnp.concatenate([bo, bd])
+            for name, f in features.items():
+                b, h, w, _ = f.shape
+                out = fused_conv.fused_conv_relu_head(
+                    f.astype(self.dtype), wc, bc, wh, bh,
+                    ht=tiles[name], interpret=fused_conv.kernel_interpret(),
+                )
+                logits[name] = out[..., :a].reshape(b, h * w * a).astype(jnp.float32)
+                regs[name] = (
+                    out[..., a:].reshape(b, h * w * a, 4).astype(jnp.float32)
+                )
+            return logits, regs
         conv = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="conv")
         obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="objectness_logits")
         deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="anchor_deltas")
-        logits, regs = {}, {}
         for name, f in features.items():
             t = nn.relu(conv(f))
             b, h, w, _ = t.shape

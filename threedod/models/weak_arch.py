@@ -45,7 +45,7 @@ class RCNN3DCombined(nn.Module):
         rpn_feats = {f: feats[f] for f in c.model.rpn.in_features}
         shapes = {f: (rpn_feats[f].shape[1], rpn_feats[f].shape[2]) for f in rpn_feats}
         rpn = RPN(c, shapes)
-        logits, regs = self.rpn_head(rpn_feats)
+        logits, regs = self.rpn_head(rpn_feats, train=train)
         roi_feats = {f: feats[f] for f in c.model.roi_heads.in_features}
 
         if train:

@@ -492,6 +492,60 @@ def fused_block_down(x, w1, b1, w2, b2, wproj=None, bproj=None, *,
     )(*args)
 
 
+def _crh_kernel(x_hbm, xt_ref, wc_ref, bc_ref, wh_ref, bh_ref, o_ref, xb, sem,
+                *, H, W, Wp, Ht, dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r0 = i * Ht
+    c = xt_ref.shape[-1]
+    x = _load_halo_tile(x_hbm, xt_ref, xb, sem, b, r0, H, W, Wp, halo=1)
+    acc = _conv3x3_flat(_shifts(x), wc_ref[:], 1, Ht, Wp, c)
+    t = jax.nn.relu(acc + bc_ref[:].astype(jnp.float32)).astype(dtype)
+    out = jnp.dot(t, wh_ref[:], preferred_element_type=jnp.float32)
+    out = out + bh_ref[:].astype(jnp.float32)
+    o_ref[:] = out.reshape(Ht, Wp, -1)[:, :W].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ht"))
+def fused_conv_relu_head(x, wc, bc, wh, bh, *, interpret: bool = False, ht: int = 32):
+    """relu(conv3x3(x, wc)+bc) @ wh + bh in one kernel (RPN head shape:
+    the 3x3 conv's activation never round-trips HBM; the 1x1 predictor
+    heads are packed into wh's output columns)."""
+    B, H, W, C = x.shape
+    Ht = min(ht, H)
+    assert H % Ht == 0
+    nt = H // Ht
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    Wp = _align(W, sub)
+    n_out = wh.shape[-1]
+    kernel = functools.partial(_crh_kernel, H=H, W=W, Wp=Wp, Ht=Ht, dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Ht, W, C), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Ht, W, n_out), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, n_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Ht + 2, Wp, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, x, wc.reshape(9 * C, wc.shape[-1]).astype(x.dtype), bc,
+      wh.astype(x.dtype), bh)
+
+
+def conv_relu_head_reference(x, wc, bc, wh, bh):
+    t = jax.nn.relu(_conv_ref(x, wc) + bc.astype(x.dtype))
+    return jnp.einsum("bhwc,cd->bhwd", t, wh.astype(x.dtype)) + bh.astype(x.dtype)
+
+
 def pick_row_tile_down(h_out: int, w_out: int, cin: int, cout: int) -> int | None:
     """Row tile for fused_block_down (input tile is 4x the output tile)."""
     for ht in (16, 8):

@@ -191,3 +191,26 @@ def test_rpn_head_fused_eval_equivalence(force_interpret):
     for k in feats:
         np.testing.assert_allclose(np.asarray(got_l[k]), np.asarray(ref_l[k]), atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_r[k]), np.asarray(ref_r[k]), atol=2e-4)
+
+
+def test_fpn_fused_eval_equivalence(force_interpret):
+    from threedod.models.backbones.fpn import FPN
+
+    fpn = FPN(out_channels=32, dtype=jnp.float32)
+    rng = np.random.RandomState(8)
+    feats = {
+        "p2": jnp.asarray(rng.randn(1, 64, 84, 16).astype(np.float32) * 0.5),
+        "p3": jnp.asarray(rng.randn(1, 32, 42, 24).astype(np.float32) * 0.5),
+        "p4": jnp.asarray(rng.randn(1, 16, 21, 32).astype(np.float32) * 0.5),
+        "p5": jnp.asarray(rng.randn(1, 8, 10, 48).astype(np.float32) * 0.5),
+    }
+    variables = fpn.init(jax.random.PRNGKey(0), feats, train=True)
+
+    fused_conv.FORCE_INTERPRET = False
+    ref = fpn.apply(variables, feats, train=False)
+    fused_conv.FORCE_INTERPRET = True
+    got = fpn.apply(variables, feats, train=False)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=2e-4, err_msg=k
+        )

@@ -8,11 +8,36 @@ top block).
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ...ops import fused_conv
+
+
+class _ConvWithBiasParams(nn.Module):
+    """nn.Conv's parameter tree (kernel + bias) without applying it."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+def _fpn_level_tile(h: int, w: int) -> int | None:
+    """Row tile for the fused FPN level; None when the level is ineligible
+    (odd dims, too small for the half-res carry window, or VMEM-heavy)."""
+    if h % 2 or w % 2:
+        return None
+    for ht in (16, 8):
+        if h % ht == 0 and ht % 2 == 0 and h // 2 >= ht // 2 + 2:
+            return ht
+    return None
 
 
 class FPN(nn.Module):
@@ -22,15 +47,35 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, bottom_up: dict, train: bool = False):
         names = sorted(bottom_up.keys())  # ['p2', ..., 'p6']
-        laterals = {
-            n: nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"lateral_{n}")(bottom_up[n])
-            for n in names
-        }
-        # top-down pathway
+        fuse = not train and fused_conv.fused_conv_available()
         outs = {}
         prev = None
         for n in reversed(names):
-            cur = laterals[n]
+            f = bottom_up[n]
+            ht = _fpn_level_tile(f.shape[1], f.shape[2]) if fuse else None
+            if ht is not None and prev is not None:
+                # Eval fast path (ops/fused_conv.py): lateral + nearest-up
+                # add + output conv in one kernel; the lateral and summed
+                # carry never round-trip HBM. Identical parameter tree.
+                cl = f.shape[-1]
+                wl, bl = _ConvWithBiasParams((1, 1, cl, self.out_channels), name=f"lateral_{n}")()
+                wo, bo = _ConvWithBiasParams(
+                    (3, 3, self.out_channels, self.out_channels), name=f"output_{n}"
+                )()
+                emit_cur = n != names[0]  # the bottom level's carry is unused
+                res = fused_conv.fused_fpn_level(
+                    f.astype(self.dtype), prev.astype(self.dtype), wl, bl, wo, bo,
+                    emit_cur=emit_cur, ht=ht,
+                    interpret=fused_conv.kernel_interpret(),
+                )
+                if emit_cur:
+                    outs[n], prev = res
+                else:
+                    outs[n] = res
+                continue
+            cur = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name=f"lateral_{n}"
+            )(f)
             if prev is not None:
                 h, w = cur.shape[-3], cur.shape[-2]
                 up = jax.image.resize(

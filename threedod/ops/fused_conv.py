@@ -559,6 +559,124 @@ def pick_row_tile_down(h_out: int, w_out: int, cin: int, cout: int) -> int | Non
     return None
 
 
+def _fpn_kernel(f_hbm, ft_ref, prev_hbm, wl_ref, bl_ref, wo_ref, bo_ref,
+                *rest, emit_cur, H, W, Wp, Ht, Cl, dtype):
+    if emit_cur:
+        o_ref, cur_ref, fb, pb, sem = rest
+    else:
+        o_ref, fb, pb, sem = rest
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r0 = i * Ht
+    n = Ht + 2  # cur rows [r0-1, r1+1)
+    hp = H // 2
+    np_rows = Ht // 2 + 2
+    wh = Wp // 2
+
+    # f tile: main rows pipelined, 1-row halos via DMA
+    fx = _load_halo_tile(f_hbm, ft_ref, fb, sem, b, r0, H, W, Wp, halo=1)
+
+    # prev (half-res) rows [p0, p0+np_rows) with p0 = clip((r0-1)//2, ...)
+    p0 = jnp.clip((r0 - 1) // 2, 0, hp - np_rows)
+    pdma = pltpu.make_async_copy(
+        prev_hbm.at[b, pl.ds(p0, np_rows), :, :],
+        pb.at[:, pl.ds(0, W // 2), :],
+        sem.at[0],
+    )
+    pdma.start()
+
+    lat = jnp.dot(
+        fx.reshape(n * Wp, Cl), wl_ref[:], preferred_element_type=jnp.float32
+    ) + bl_ref[:].astype(jnp.float32)
+
+    pdma.wait()
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (np_rows, wh), 1)
+    pv = jnp.where((pcol < W // 2)[..., None], pb[:], 0)
+    up = jnp.repeat(jnp.repeat(pv, 2, axis=1), 2, axis=0)  # rows [2p0, 2p0+2np)
+    # cur row r (image) sits at up row r - 2*p0; the needed range [r0-1,
+    # r1+1) can poke 1 row past either end at image edges (those rows are
+    # out-of-image and zero-masked below) — pad one zero row per side so the
+    # dynamic slice never clamps into misalignment.
+    zrow = jnp.zeros((1,) + up.shape[1:], up.dtype)
+    up = jnp.concatenate([zrow, up, zrow], axis=0)
+    up_n = jax.lax.dynamic_slice(
+        up, (r0 - 2 * p0, 0, 0), (n, Wp, up.shape[-1])
+    )
+    cur = lat.reshape(n, Wp, -1) + up_n.astype(jnp.float32)
+    row = r0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (n, Wp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, Wp), 1)
+    keep = (row >= 0) & (row < H) & (col < W)
+    cur = jnp.where(keep[..., None], cur, 0.0).astype(dtype)
+
+    acc = _conv3x3_flat(_shifts(cur), wo_ref[:], 1, Ht, Wp, cur.shape[-1])
+    out = acc + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = out.reshape(Ht, Wp, -1)[:, :W].astype(o_ref.dtype)
+    if emit_cur:
+        cur_ref[:] = cur[1 : 1 + Ht, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("emit_cur", "interpret", "ht"))
+def fused_fpn_level(f, prev, wlat, blat, wout, bout, *, emit_cur: bool = True,
+                    interpret: bool = False, ht: int = 16):
+    """One FPN level in one kernel: cur = lateral_1x1(f) + nearest_up(prev);
+    out = conv3x3(cur). Returns (out, cur) when emit_cur (cur feeds the next
+    top-down level) else out. prev is the half-resolution carry (B, H/2,
+    W/2, C256); requires even H, W."""
+    B, H, W, Cl = f.shape
+    assert H % 2 == 0 and W % 2 == 0
+    C = wlat.shape[-1]
+    Ht = min(ht, H)
+    assert H % Ht == 0 and Ht % 2 == 0
+    nt = H // Ht
+    sub = 16 if f.dtype == jnp.bfloat16 else 8
+    Wp = _align(W, 2 * sub)
+    kernel = functools.partial(
+        _fpn_kernel, emit_cur=emit_cur, H=H, W=W, Wp=Wp, Ht=Ht, Cl=Cl,
+        dtype=f.dtype,
+    )
+    out_shape = [jax.ShapeDtypeStruct((B, H, W, C), f.dtype)]
+    out_specs = [pl.BlockSpec((None, Ht, W, C), lambda b, i: (b, i, 0, 0))]
+    if emit_cur:
+        out_shape.append(jax.ShapeDtypeStruct((B, H, W, C), f.dtype))
+        out_specs.append(pl.BlockSpec((None, Ht, W, C), lambda b, i: (b, i, 0, 0)))
+    res = pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Ht, W, Cl), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((Ht + 2, Wp, Cl), f.dtype),
+            pltpu.VMEM((Ht // 2 + 2, Wp // 2, C), f.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(f, f, prev,
+      wlat.reshape(Cl, C).astype(f.dtype), blat,
+      wout.reshape(9 * C, C).astype(f.dtype), bout)
+    return tuple(res) if emit_cur else res[0]
+
+
+def fpn_level_reference(f, prev, wlat, blat, wout, bout):
+    lat = jnp.einsum("bhwc,cd->bhwd", f, wlat.reshape(f.shape[-1], -1).astype(f.dtype))
+    lat = lat + blat.astype(f.dtype)
+    up = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
+    cur = lat + up
+    out = jax.lax.conv_general_dilated(
+        cur, wout.astype(f.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bout.astype(f.dtype)
+    return out, cur
+
+
 # ---------------- XLA references (tests / CPU fallback semantics) ---------
 
 

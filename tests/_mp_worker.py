@@ -45,6 +45,15 @@ mesh = make_mesh(devices=jax.devices())
 trainer = Trainer(cfg, model, mesh=mesh)
 
 batch = ge._tiny_batch(cfg, b=8, with_gt=True)  # same on every process (seeded)
+
+# init_state is the FIRST multi-host execution (its jit launch opens the
+# gloo context, whose key-value exchange times out at 30 s): rendezvous
+# right before it so import/build skew between the processes — minutes
+# when the host is loaded — never lands on that fixed window. The jit
+# compile of init_fn after the barrier is the only remaining skew.
+from jax._src import distributed
+
+distributed.global_state.client.wait_at_barrier("pre_init", 900_000)
 state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
 # global sharded batch: each process provides its local quarter of the data
@@ -67,7 +76,7 @@ step = trainer.make_train_step()
 compiled = step.lower(
     state, sharded, jax.random.PRNGKey(1), jnp.asarray(np.inf, jnp.float32)
 ).compile()
-from jax._src import distributed
+
 
 distributed.global_state.client.wait_at_barrier("compiled", 900_000)
 

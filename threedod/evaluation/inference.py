@@ -16,7 +16,6 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..geometry.cuboids import cuboid_verts
 from .omni3d_eval import Omni3DEval
 
 logger = logging.getLogger(__name__)

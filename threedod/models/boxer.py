@@ -19,7 +19,6 @@ models/sam.py) or a 2D-box fill fallback.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -28,7 +27,7 @@ import numpy as np
 
 from ..geometry.iou3d import iou3d_pairs
 from ..geometry.plane import fit_plane_ransac
-from ..proposals.proposals import PROPOSAL_FUNCS, propose_batch
+from ..proposals.proposals import propose_batch
 from ..scoring.scorefunction import (
     score_corners,
     score_dimensions,

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .dinov2 import INTERMEDIATE_LAYER_IDX, VIT_SPECS, build_dinov2
+from .dinov2 import INTERMEDIATE_LAYER_IDX, build_dinov2
 
 DEPTH_MODEL_CONFIGS = {
     # reference cubercnn/data/generate_depth_maps.py:13-17

@@ -22,7 +22,7 @@ validated structurally (tests/test_gdino.py).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from ..data.batch import Batch, normalize_image
 from .backbones import build_backbone
-from .roi_heads3d import Detections, ROIHeads3D
+from .roi_heads3d import ROIHeads3D
 from .rpn import RPN, RPNHead
 
 

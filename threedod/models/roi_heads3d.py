@@ -29,7 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..geometry.boxes2d import Box2BoxTransform, clip_boxes
-from ..geometry.cuboids import backproject, cuboid_verts, project_points
+from ..geometry.cuboids import backproject, cuboid_verts
 from ..geometry.misc import (
     chamfer_corner_loss,
     compute_virtual_scale_from_focal_spaces,

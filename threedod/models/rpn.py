@@ -14,7 +14,7 @@ anchor set derived from the fixed canvas; proposals are a padded
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ returns one (H, W) bool mask per prompted box, like the reference's
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ loss; here each loss is one vectorised program over the static fg prefix
 """
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,10 +26,9 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import struct
 
-from ..parallel.mesh import batch_sharding, make_mesh_for_batch, replicated, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicated, shard_batch
 from .checkpoint import CheckpointManager
 from .events import EventStorage
 from .solver import build_optimizer, host_lr

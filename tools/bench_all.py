@@ -105,7 +105,8 @@ def bench_depth_ground():
     from threedod.models.boxer import ground_plane_from_depth
     from threedod.models.depth import DepthAnythingV2
 
-    model = DepthAnythingV2(encoder="vits", max_depth=20.0)
+    # bf16 compute dtype = the production asset path (generate_depth_maps.py)
+    model = DepthAnythingV2(encoder="vits", max_depth=20.0, dtype=jnp.bfloat16)
     rng = np.random.RandomState(1)
     # 518 is DA-V2's standard input size (14 * 37)
     x = jnp.asarray(rng.randn(1, 518, 518, 3).astype(np.float32))

@@ -1,4 +1,5 @@
 """Ops tests: roi_align, NMS, matcher/sampler."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -359,3 +360,64 @@ class TestPallasRoiAlign:
             a, b = np.asarray(g_pallas[k]), np.asarray(g_ref[k])
             err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
             assert err < 1e-5, (k, err)
+
+
+class TestPallasRoiAlignInterpret:
+    """CPU-suite pin of the REAL Pallas pool kernel via the interpreter.
+
+    The TPU-only tests above validate compiled numerics on hardware; these
+    run the same kernel code (DMA classes, window origins, selector-matmul
+    weight construction, serialized RMW backward) through the Pallas
+    interpreter so a kernel-logic regression is caught by the CPU suite,
+    not only by bench.py's per-round hardware gate."""
+
+    @pytest.fixture
+    def interp(self):
+        from threedod.ops import roi_align_pallas as rap
+
+        rap.FORCE_INTERPRET = True
+        try:
+            yield
+        finally:
+            rap.FORCE_INTERPRET = False
+
+    def _feats_boxes(self, n=16, c=128, seed=7):
+        rng = np.random.RandomState(seed)
+        feats = {
+            "p2": jnp.asarray(rng.randn(64, 80, c).astype(np.float32)),
+            "p3": jnp.asarray(rng.randn(32, 40, c).astype(np.float32)),
+        }
+        xy = rng.uniform(-10, 250, (n, 2)).astype(np.float32)
+        wh = np.exp(rng.uniform(np.log(4), np.log(200), (n, 2))).astype(np.float32)
+        boxes = jnp.asarray(np.clip(np.concatenate([xy, xy + wh], -1), 0, None))
+        return feats, boxes
+
+    def test_forward_matches_windowed_interpret(self, interp):
+        from threedod.ops.roi_align import multilevel_roi_align_windowed
+        from threedod.ops.roi_align_pallas import WINDOW_Y, multilevel_roi_align_tpu
+
+        feats, boxes = self._feats_boxes()
+        a = np.asarray(multilevel_roi_align_windowed(feats, boxes, window=WINDOW_Y))
+        b = np.asarray(multilevel_roi_align_tpu(feats, boxes))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_backward_matches_windowed_interpret(self, interp):
+        from threedod.ops.roi_align import multilevel_roi_align_windowed
+        from threedod.ops.roi_align_pallas import WINDOW_Y, multilevel_roi_align_tpu
+
+        feats, boxes = self._feats_boxes(n=8)
+
+        def loss_k(f):
+            return jnp.sum(jnp.sin(multilevel_roi_align_tpu(f, boxes)))
+
+        def loss_o(f):
+            return jnp.sum(
+                jnp.sin(multilevel_roi_align_windowed(f, boxes, window=WINDOW_Y))
+            )
+
+        ga = jax.grad(loss_k)(feats)
+        gb = jax.grad(loss_o)(feats)
+        for k in feats:
+            np.testing.assert_allclose(
+                np.asarray(ga[k]), np.asarray(gb[k]), atol=1e-5, err_msg=k
+            )

@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import assign_fpn_levels
 
+# Tests set this to run the kernels on CPU via the Pallas interpreter
+# (forward AND backward RMW semantics hold there), so the CPU suite pins the
+# real kernel — not only the XLA windowed oracle. Read at trace time by both
+# pallas_call sites.
+FORCE_INTERPRET = False
+
 WINDOW_Y = 32        # rows per ROI window. Canonical FPN assignment
                      # (floor(k0+log2(sqrt(area)/224))) bounds sqrt(area) to
                      # <28 cells at the assigned level, but the *max extent*
@@ -400,6 +406,7 @@ def _pallas_forward(
             bytes_accessed=n_pad * WINDOW_Y * WINDOW_X * c * itemsize,
             transcendentals=0,
         ),
+        interpret=FORCE_INTERPRET,
     )(y0w, x0w, small, ay, ax, buf)
     return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
 
@@ -549,6 +556,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
             bytes_accessed=2 * n_pad * WINDOW_Y * WINDOW_X * c * 4,
             transcendentals=0,
         ),
+        interpret=FORCE_INTERPRET,
     )(y0w, x0w, small, ay, ax, gp, dbuf)
 
     dfeat = {}

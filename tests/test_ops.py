@@ -421,3 +421,18 @@ class TestPallasRoiAlignInterpret:
             np.testing.assert_allclose(
                 np.asarray(ga[k]), np.asarray(gb[k]), atol=1e-5, err_msg=k
             )
+
+    def test_pair_pooling_matches_per_roi_interpret(self, interp):
+        """PAIR_POOLING fuses ROI pairs into one block-diagonal matmul; the
+        off-diagonal blocks are exact zeros so outputs must match the
+        per-ROI path bit-for-bit in f32 (and to bf16 rounding in bf16)."""
+        from threedod.ops import roi_align_pallas as rap
+
+        feats, boxes = self._feats_boxes(n=12)
+        base = np.asarray(rap.multilevel_roi_align_tpu(feats, boxes))
+        rap.PAIR_POOLING = True
+        try:
+            paired = np.asarray(rap.multilevel_roi_align_tpu(feats, boxes))
+        finally:
+            rap.PAIR_POOLING = False
+        np.testing.assert_array_equal(base, paired)

@@ -94,4 +94,11 @@ assert len(merged) == 8, len(merged)
 ids = sorted(p["image_id"] for p in merged)
 assert ids == list(range(8)), ids
 
-print(f"WORKER{proc_id} OK loss={total:.6f}")
+print(f"WORKER{proc_id} OK loss={total:.6f}", flush=True)
+
+# The implicit atexit shutdown hits a coordination-service barrier with a
+# FIXED short timeout; interpreter teardown (buffer frees, XLA finalizers)
+# skews by minutes on a loaded host. Rendezvous with a generous timeout and
+# shut down explicitly while both processes are provably in lockstep.
+distributed.global_state.client.wait_at_barrier("done", 900_000)
+jax.distributed.shutdown()

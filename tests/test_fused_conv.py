@@ -222,9 +222,10 @@ def test_full_model_fused_inference_equivalence(force_interpret):
     scores, 3D corners), not just per-module — this catches wiring bugs
     (level ordering, carry direction, head packing) that per-kernel parity
     cannot."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_model import tiny_batch, tiny_cfg
 
     from threedod.models import build_model
@@ -252,3 +253,26 @@ def test_full_model_fused_inference_equivalence(force_interpret):
     np.testing.assert_allclose(
         np.asarray(got.corners3d), np.asarray(ref.corners3d), atol=5e-3
     )
+
+
+def test_tree_stride1_with_projection_uses_projected_residual(force_interpret):
+    """A stride-1 Tree with a projection must NOT take the fused two-block
+    tail (which hands raw x to tree1 as its residual): regression for the
+    gate dropping proj(x) silently when cin == features."""
+    from threedod.models.backbones.dla import BasicBlock, Tree
+
+    tree = Tree(
+        levels=1, block=BasicBlock, features=16, stride=1, project=True,
+        dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 32, 32, 16).astype(np.float32))
+    variables = tree.init(jax.random.PRNGKey(0), x, train=True)
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    assert "project" in variables["params"], "projection params must exist"
+
+    fused_conv.FORCE_INTERPRET = False
+    ref = tree.apply(variables, x, train=False)
+    fused_conv.FORCE_INTERPRET = True
+    got = tree.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)

@@ -194,7 +194,10 @@ class Tree(nn.Module):
             residual = bottom
 
         if self.levels == 1:
-            two_tail = fuse_ht is not None and self.stride == 1
+            # The two-block tail hands `x` to tree1 as its residual, which is
+            # only correct when there is no projection (stride 1 + project
+            # would need proj(x) instead — fall back to the stock path).
+            two_tail = fuse_ht is not None and self.stride == 1 and not self.project
             if fuse_head_ht is not None:
                 bb_head = _BBFoldParams(self.features, x.shape[-1], name="tree1")()
                 x1 = fused_conv.fused_block_down(

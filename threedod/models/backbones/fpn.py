@@ -15,18 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import fused_conv
-
-
-class _ConvWithBiasParams(nn.Module):
-    """nn.Conv's parameter tree (kernel + bias) without applying it."""
-
-    shape: Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
-        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
-        return k, b
+from .layers import ConvWithBiasParams
 
 
 def _fpn_level_tile(h: int, w: int) -> int | None:
@@ -58,8 +47,8 @@ class FPN(nn.Module):
                 # add + output conv in one kernel; the lateral and summed
                 # carry never round-trip HBM. Identical parameter tree.
                 cl = f.shape[-1]
-                wl, bl = _ConvWithBiasParams((1, 1, cl, self.out_channels), name=f"lateral_{n}")()
-                wo, bo = _ConvWithBiasParams(
+                wl, bl = ConvWithBiasParams((1, 1, cl, self.out_channels), name=f"lateral_{n}")()
+                wo, bo = ConvWithBiasParams(
                     (3, 3, self.out_channels, self.out_channels), name=f"output_{n}"
                 )()
                 emit_cur = n != names[0]  # the bottom level's carry is unused

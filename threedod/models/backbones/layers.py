@@ -86,6 +86,19 @@ class ConvBNParams(nn.Module):
         return k, scale, bias, mean, var
 
 
+class ConvWithBiasParams(nn.Module):
+    """nn.Conv's parameter tree (kernel + bias) without applying it, for
+    callers that feed the weights to a fused kernel (FPN levels, RPN head)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm [+ ReLU], BN folded into the conv at eval."""
 

@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from ..geometry.boxes2d import Box2BoxTransform, clip_boxes
 from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
+from .backbones.layers import ConvWithBiasParams
 from ..ops.matcher import (
     apply_ignore_regions,
     best_candidate_mask,
@@ -68,18 +69,6 @@ def generate_anchors(
     return out
 
 
-class _ConvWithBiasParams(nn.Module):
-    """nn.Conv's parameter tree (kernel + bias) without applying it."""
-
-    shape: Tuple[int, ...]
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
-        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
-        return k, b
-
-
 class RPNHead(nn.Module):
     """Shared 3x3 conv + objectness/delta predictors (StandardRPNHead)."""
 
@@ -101,9 +90,9 @@ class RPNHead(nn.Module):
             # Eval fast path (ops/fused_conv.py): conv+relu and the packed
             # 1x1 predictor heads in one kernel per level — the 256-ch
             # activation never round-trips HBM.
-            wc, bc = _ConvWithBiasParams((3, 3, cin, 256), name="conv")()
-            ko, bo = _ConvWithBiasParams((1, 1, 256, a), name="objectness_logits")()
-            kd, bd = _ConvWithBiasParams((1, 1, 256, a * 4), name="anchor_deltas")()
+            wc, bc = ConvWithBiasParams((3, 3, cin, 256), name="conv")()
+            ko, bo = ConvWithBiasParams((1, 1, 256, a), name="objectness_logits")()
+            kd, bd = ConvWithBiasParams((1, 1, 256, a * 4), name="anchor_deltas")()
             wh = jnp.concatenate([ko.reshape(256, a), kd.reshape(256, a * 4)], axis=-1)
             bh = jnp.concatenate([bo, bd])
             for name, f in features.items():

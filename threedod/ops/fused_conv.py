@@ -627,6 +627,10 @@ def fused_fpn_level(f, prev, wlat, blat, wout, bout, *, emit_cur: bool = True,
     C = wlat.shape[-1]
     Ht = min(ht, H)
     assert H % Ht == 0 and Ht % 2 == 0
+    # The prev-carry DMA reads Ht//2 + 2 half-res rows starting at
+    # clip(..., 0, H//2 - (Ht//2 + 2)); a negative upper clip bound would be
+    # an out-of-bounds HBM read, so the tile must leave 2 rows of slack.
+    assert H // 2 >= Ht // 2 + 2, (H, Ht)
     nt = H // Ht
     sub = 16 if f.dtype == jnp.bfloat16 else 8
     Wp = _align(W, 2 * sub)

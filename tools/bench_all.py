@@ -133,6 +133,49 @@ def bench_depth_ground():
     return 1.0 / t, "images/sec"
 
 
+def bench_asset_pipeline(gdino_size=800, sam_size=1024):
+    """Text-prompted box -> mask asset step, per image: GroundingDINO
+    (swin-T, bf16, the generate_ground_segmentations.py contract) forward +
+    best_box_for_prompt + SAM ViT-B mask for that box. Random-init weights —
+    throughput only."""
+    from threedod.models.gdino import GroundingDINO, best_box_for_prompt
+    from threedod.models.sam import Sam
+
+    rng = np.random.RandomState(5)
+    gmodel = GroundingDINO(dtype=jnp.bfloat16)
+    ids = jnp.asarray([[101, 2598, 1012, 102]], jnp.int32)  # "ground."
+    tok_mask = jnp.ones_like(ids, bool)
+    gx = jnp.asarray(rng.randn(1, gdino_size, gdino_size, 3).astype(np.float32))
+    gparams = jax.jit(gmodel.init)(jax.random.PRNGKey(0), gx, ids, tok_mask)
+
+    smodel = Sam(img_size=sam_size, dtype=jnp.bfloat16)
+    sx = jnp.asarray(rng.randn(1, sam_size, sam_size, 3).astype(np.float32))
+    sparams = jax.jit(smodel.init)(
+        jax.random.PRNGKey(1), sx, jnp.zeros((1, 4))
+    )["params"]
+
+    hw = jnp.asarray([[float(sam_size), float(sam_size)]])
+
+    @jax.jit
+    def asset_step(gimg, simg):
+        logits, boxes = gmodel.apply(gparams, gimg, ids, tok_mask)
+        box, score = best_box_for_prompt(logits, boxes, hw)
+        mask = smodel.apply({"params": sparams}, simg, box.reshape(1, 4))
+        return box, mask
+
+    def run(k):
+        t0 = time.perf_counter()
+        s = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            box, mask = asset_step(gx, sx)
+            s = s + box.sum().astype(jnp.float32) + jnp.asarray(mask[0], jnp.float32).sum()
+        jax.device_get(s)
+        return time.perf_counter() - t0
+
+    t = timed(run, short=3, long=10)
+    return 1.0 / t, "images/sec"
+
+
 def bench_propose_score():
     """1000-cube proposal + scoring over 8 instances (one scene)."""
     from threedod.models.boxer import box_fill_masks, propose_and_score
@@ -252,7 +295,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default="")
     ap.add_argument(
-        "--only", default="", help="comma list: dla34,resnet34,depth,propose,weak,train"
+        "--only", default="",
+        help="comma list of row names, e.g. dla34_infer_512px_bs8,gdino_sam_asset_step"
     )
     args = ap.parse_args()
 
@@ -270,6 +314,7 @@ def main():
     go("dla34_infer_512px_bs8", bench_infer, "dla34")
     go("resnet34_infer_512px_bs8", bench_infer, "resnet34")
     go("dav2_vits_depth_ground", bench_depth_ground)
+    go("gdino_sam_asset_step", bench_asset_pipeline)
     go("propose_score_1000", bench_propose_score)
     go("supervised_train_step", bench_train, False)
     go("weak_train_step", bench_train, True)

@@ -104,10 +104,47 @@ def kernel_parity_gate():
     assert err < 0.1, f"fused block-down parity broke: {err}"
 
 
+def wait_for_tpu(attempts=4, probe_timeout=120, sleep_s=60):
+    """The axon relay has transient outages (observed hours-long, but usually
+    short): probe with a tiny device round-trip in a subprocess (a dead relay
+    HANGS the first op rather than erroring, so the probe needs an external
+    timeout) and retry a few times before giving up. Bounded at ~10 min so a
+    dead relay still fails the bench rather than stalling the driver."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "jax.device_get(jnp.ones((8,8)).sum())"
+    )
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=probe_timeout,
+                check=True, capture_output=True,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if i < attempts - 1:
+                print(f"# TPU relay probe {i + 1}/{attempts} failed; retrying", file=sys.stderr)
+                time.sleep(sleep_s)
+    return False
+
+
 def main():
     from threedod.config import Config
     from threedod.data.batch import Batch
     from threedod.models import build_model
+
+    # Probe via subprocess BEFORE jax.default_backend(): on a dead relay the
+    # first in-process backend touch hangs with no recourse, while the
+    # subprocess probe is externally timed out and retryable.
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
+        if not wait_for_tpu():
+            print(
+                json.dumps({"error": "TPU relay unreachable after retries"}),
+                file=sys.stderr,
+            )
+            sys.exit(2)
 
     if jax.default_backend() == "tpu":
         kernel_parity_gate()

@@ -422,17 +422,23 @@ class TestPallasRoiAlignInterpret:
                 np.asarray(ga[k]), np.asarray(gb[k]), atol=1e-5, err_msg=k
             )
 
-    def test_pair_pooling_matches_per_roi_interpret(self, interp):
-        """PAIR_POOLING fuses ROI pairs into one block-diagonal matmul; the
+    @pytest.mark.parametrize("group", [2, 4])
+    def test_group_pooling_matches_per_roi_interpret(self, interp, group):
+        """POOL_GROUP fuses g ROIs into one block-diagonal matmul; the
         off-diagonal blocks are exact zeros so outputs must match the
-        per-ROI path bit-for-bit in f32 (and to bf16 rounding in bf16)."""
+        per-ROI path bit-for-bit. bf16 features give 8 ROIs per grid step,
+        so both group sizes genuinely engage (the branch needs r % g == 0)."""
         from threedod.ops import roi_align_pallas as rap
 
-        feats, boxes = self._feats_boxes(n=12)
-        base = np.asarray(rap.multilevel_roi_align_tpu(feats, boxes))
-        rap.PAIR_POOLING = True
+        assert rap._rois_per_step(2) % group == 0  # branch must engage
+        feats, boxes = self._feats_boxes(n=16)
+        feats = {k: v.astype(jnp.bfloat16) for k, v in feats.items()}
+        base = np.asarray(rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32))
+        rap.POOL_GROUP = group
         try:
-            paired = np.asarray(rap.multilevel_roi_align_tpu(feats, boxes))
+            grouped = np.asarray(
+                rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32)
+            )
         finally:
-            rap.PAIR_POOLING = False
-        np.testing.assert_array_equal(base, paired)
+            rap.POOL_GROUP = 1
+        np.testing.assert_array_equal(base, grouped)

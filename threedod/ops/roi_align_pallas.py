@@ -42,11 +42,14 @@ from .roi_align import assign_fpn_levels
 # pallas_call sites.
 FORCE_INTERPRET = False
 
-# Pair-block-diagonal pooling (see _kernel): CPU-interpret-validated exact,
-# but OFF until the queued v5e run lands parity + a measured speedup —
-# same gate discipline as ops/fused_conv.ENABLE_ON_TPU (an unmeasured
-# kernel never sits on the bench path).
-PAIR_POOLING = False
+# Group-block-diagonal pooling (see _kernel): fuse POOL_GROUP ROIs into one
+# m=POOL_GROUP*S² matmul, dividing the pooling op count by POOL_GROUP (the
+# kernel is MXU-op-latency bound, not FLOP bound). CPU-interpret-validated
+# exact for 2 and 4, but held at 1 (off) until the queued v5e run lands
+# parity + a measured speedup for a group size — same gate discipline as
+# ops/fused_conv.ENABLE_ON_TPU (an unmeasured kernel never sits on the
+# bench path).
+POOL_GROUP = 1
 
 WINDOW_Y = 32        # rows per ROI window. Canonical FPN assignment
                      # (floor(k0+log2(sqrt(area)/224))) bounds sqrt(area) to
@@ -220,31 +223,32 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
 
     m_all = build_m(ay_ref[...], ax_ref[...], WINDOW_Y, WINDOW_X)
 
-    if PAIR_POOLING and r % 2 == 0:
-        # pair-block-diagonal pooling: fuse ROI pairs into one m=2*S²
-        # matmul. m=S²=64 pads to the 128-row MXU tile anyway, so a
-        # (128, 2·hw) block-diagonal matmul does the same useful work per
-        # tile-pass as two (64, hw) matmuls while halving the pooling op
-        # count — the kernel is MXU-op-latency bound, not FLOP bound
+    g = POOL_GROUP
+    if g > 1 and r % g == 0:
+        # group-block-diagonal pooling: fuse g ROIs into one m=g*S² matmul.
+        # m=S²=64 pads to the 128-row MXU tile anyway, so a (g·64, g·hw)
+        # block-diagonal matmul does the same useful work per tile-pass as
+        # g separate (64, hw) matmuls while dividing the pooling op count
+        # by g — the kernel is MXU-op-latency bound, not FLOP bound
         # (DESIGN 9b item 4). The off-diagonal blocks are exact zeros, so
         # the f32 accumulation is unchanged (CPU-interpret parity: exact
         # in f32, identical bf16 rounding to the per-ROI path).
         hw = WINDOW_Y * WINDOW_X
-        rows = jax.lax.broadcasted_iota(jnp.int32, (2 * ss, 2 * hw), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (2 * ss, 2 * hw), 1)
-        pair_mask = ((rows // ss) == (cols // hw)).astype(dt)
-        for q in range(r // 2):
-            wait(i, 2 * q, phase)
-            wait(i, 2 * q + 1, phase)
-            mq = m_all[2 * q * ss : (2 * q + 2) * ss]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (g * ss, g * hw), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (g * ss, g * hw), 1)
+        group_mask = ((rows // ss) == (cols // hw)).astype(dt)
+        for q in range(r // g):
+            for j in range(g):
+                wait(i, g * q + j, phase)
+            mq = m_all[g * q * ss : (g * q + g) * ss]
             o = jnp.dot(
-                jnp.concatenate([mq, mq], axis=1) * pair_mask,
-                win[phase, 2 * q : 2 * q + 2].reshape(2 * hw, c),
+                jnp.concatenate([mq] * g, axis=1) * group_mask,
+                win[phase, g * q : g * q + g].reshape(g * hw, c),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
-            out_ref[2 * q] = o[:ss].astype(out_ref.dtype)
-            out_ref[2 * q + 1] = o[ss:].astype(out_ref.dtype)
+            for j in range(g):
+                out_ref[g * q + j] = o[j * ss : (j + 1) * ss].astype(out_ref.dtype)
     else:
         for j in range(r):
             wait(i, j, phase)

@@ -46,11 +46,12 @@ trainer = Trainer(cfg, model, mesh=mesh)
 
 batch = ge._tiny_batch(cfg, b=8, with_gt=True)  # same on every process (seeded)
 
-# init_state is the FIRST multi-host execution (its jit launch opens the
-# gloo context, whose key-value exchange times out at 30 s): rendezvous
-# right before it so import/build skew between the processes — minutes
-# when the host is loaded — never lands on that fixed window. The jit
-# compile of init_fn after the barrier is the only remaining skew.
+# init_state is communication-free by design (parallel/mesh.replicate_local:
+# each process supplies its identical local copy; jax.device_put onto a
+# cross-process replicated sharding would run a surprise value-equality
+# all-gather whose gloo window is a fixed 30 s — compile skew on a loaded
+# host blew it). The barrier is defensive: it bounds import/build skew
+# before any distributed activity.
 from jax._src import distributed
 
 distributed.global_state.client.wait_at_barrier("pre_init", 900_000)

@@ -433,12 +433,16 @@ class TestPallasRoiAlignInterpret:
         assert rap._rois_per_step(2) % group == 0  # branch must engage
         feats, boxes = self._feats_boxes(n=16)
         feats = {k: v.astype(jnp.bfloat16) for k, v in feats.items()}
-        base = np.asarray(rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32))
-        rap.POOL_GROUP = group
+        saved = rap.POOL_GROUP
         try:
+            rap.POOL_GROUP = 1
+            base = np.asarray(
+                rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32)
+            )
+            rap.POOL_GROUP = group
             grouped = np.asarray(
                 rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32)
             )
         finally:
-            rap.POOL_GROUP = 1
+            rap.POOL_GROUP = saved
         np.testing.assert_array_equal(base, grouped)

@@ -177,10 +177,12 @@ class Tree(nn.Module):
             oh, ow = x.shape[1] // self.stride, x.shape[2] // self.stride
             two = self.stride == 1 and not self.project
             if all(ch.shape[1] == oh and ch.shape[2] == ow for ch in children):
-                fuse_ht = fused_conv.pick_row_tile(oh, ow, self.features, two)
+                fuse_ht = fused_conv.fuse_tile(
+                    "tt", oh, ow, self.features, self.features, two
+                )
             if self.stride == 2 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-                fuse_head_ht = fused_conv.pick_row_tile_down(
-                    oh, ow, x.shape[-1], self.features
+                fuse_head_ht = fused_conv.fuse_tile(
+                    "bd", oh, ow, x.shape[-1], self.features, True
                 )
 
         wproj = bproj = residual = None
@@ -295,7 +297,9 @@ class _FastLevel2(nn.Module):
         x1 = _FastBlockDown(self.features, c1, dtype=self.dtype, name="tree1")(yb, residual, train=train)
         fuse_ht = None
         if not train and fused_conv.fused_conv_available():
-            fuse_ht = fused_conv.pick_row_tile(x1.shape[1], x1.shape[2], self.features)
+            fuse_ht = fused_conv.fuse_tile(
+                "tt", x1.shape[1], x1.shape[2], self.features, self.features, False
+            )
         if fuse_ht is not None:
             bb_b = _BBFoldParams(self.features, self.features, name="tree2")()
             wr, br = _RootFoldParams(self.features, 2 * self.features, name="root")()

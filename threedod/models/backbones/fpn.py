@@ -18,17 +18,6 @@ from ...ops import fused_conv
 from .layers import ConvWithBiasParams
 
 
-def _fpn_level_tile(h: int, w: int) -> int | None:
-    """Row tile for the fused FPN level; None when the level is ineligible
-    (odd dims, too small for the half-res carry window, or VMEM-heavy)."""
-    if h % 2 or w % 2:
-        return None
-    for ht in (16, 8):
-        if h % ht == 0 and ht % 2 == 0 and h // 2 >= ht // 2 + 2:
-            return ht
-    return None
-
-
 class FPN(nn.Module):
     out_channels: int = 256
     dtype: Any = jnp.float32
@@ -41,7 +30,15 @@ class FPN(nn.Module):
         prev = None
         for n in reversed(names):
             f = bottom_up[n]
-            ht = _fpn_level_tile(f.shape[1], f.shape[2]) if fuse else None
+            emit = n != names[0]
+            ht = (
+                fused_conv.fuse_tile(
+                    "fpn", f.shape[1], f.shape[2], f.shape[-1],
+                    self.out_channels, emit,
+                )
+                if fuse
+                else None
+            )
             if ht is not None and prev is not None:
                 # Eval fast path (ops/fused_conv.py): lateral + nearest-up
                 # add + output conv in one kernel; the lateral and summed
@@ -51,13 +48,12 @@ class FPN(nn.Module):
                 wo, bo = ConvWithBiasParams(
                     (3, 3, self.out_channels, self.out_channels), name=f"output_{n}"
                 )()
-                emit_cur = n != names[0]  # the bottom level's carry is unused
                 res = fused_conv.fused_fpn_level(
                     f.astype(self.dtype), prev.astype(self.dtype), wl, bl, wo, bo,
-                    emit_cur=emit_cur, ht=ht,
+                    emit_cur=emit, ht=ht,
                     interpret=fused_conv.kernel_interpret(),
                 )
-                if emit_cur:
+                if emit:
                     outs[n], prev = res
                 else:
                     outs[n] = res

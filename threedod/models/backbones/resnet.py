@@ -32,7 +32,9 @@ class ResBasicBlock(nn.Module):
         ):
             # Eval fast path: one Pallas kernel, intermediate stays in VMEM
             # (ops/fused_conv.py); identical variable tree (conv1/conv2).
-            ht = fused_conv.pick_row_tile(x.shape[1], x.shape[2], self.features)
+            ht = fused_conv.fuse_tile(
+                "bb", x.shape[1], x.shape[2], self.features, self.features
+            )
             if ht is not None:
                 w1, b1 = fold_convbn(*ConvBNParams(self.features, 3, x.shape[-1], name="conv1")())
                 w2, b2 = fold_convbn(*ConvBNParams(self.features, 3, self.features, name="conv2")())
@@ -50,8 +52,9 @@ class ResBasicBlock(nn.Module):
         ):
             # stride-2 head: conv1-s2 -> conv2 -> + downsample(x), one kernel;
             # torchvision downsample is a 1x1 stride-2 conv (= x[::2, ::2] @ w)
-            ht = fused_conv.pick_row_tile_down(
-                x.shape[1] // 2, x.shape[2] // 2, x.shape[-1], self.features
+            ht = fused_conv.fuse_tile(
+                "bd", x.shape[1] // 2, x.shape[2] // 2, x.shape[-1],
+                self.features, False
             )
             if ht is not None:
                 w1, b1 = fold_convbn(*ConvBNParams(self.features, 3, x.shape[-1], name="conv1")())

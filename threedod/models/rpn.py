@@ -80,16 +80,18 @@ class RPNHead(nn.Module):
         a = self.num_anchors
         cin = next(iter(features.values())).shape[-1]
         tiles = {
-            name: fused_conv.pick_row_tile(f.shape[1], f.shape[2], 256)
+            name: fused_conv.fuse_tile("rpn", f.shape[1], f.shape[2], 256, a * 5)
             for name, f in features.items()
         }
         logits, regs = {}, {}
-        if not train and fused_conv.fused_conv_available() and all(
+        if not train and fused_conv.fused_conv_available() and any(
             t is not None for t in tiles.values()
         ):
             # Eval fast path (ops/fused_conv.py): conv+relu and the packed
             # 1x1 predictor heads in one kernel per level — the 256-ch
-            # activation never round-trips HBM.
+            # activation never round-trips HBM. Levels whose shape is not a
+            # measured hardware winner compute the same packed program
+            # through stock XLA (identical parameter tree either way).
             wc, bc = ConvWithBiasParams((3, 3, cin, 256), name="conv")()
             ko, bo = ConvWithBiasParams((1, 1, 256, a), name="objectness_logits")()
             kd, bd = ConvWithBiasParams((1, 1, 256, a * 4), name="anchor_deltas")()
@@ -97,10 +99,15 @@ class RPNHead(nn.Module):
             bh = jnp.concatenate([bo, bd])
             for name, f in features.items():
                 b, h, w, _ = f.shape
-                out = fused_conv.fused_conv_relu_head(
-                    f.astype(self.dtype), wc, bc, wh, bh,
-                    ht=tiles[name], interpret=fused_conv.kernel_interpret(),
-                )
+                if tiles[name] is not None:
+                    out = fused_conv.fused_conv_relu_head(
+                        f.astype(self.dtype), wc, bc, wh, bh,
+                        ht=tiles[name], interpret=fused_conv.kernel_interpret(),
+                    )
+                else:
+                    out = fused_conv.conv_relu_head_reference(
+                        f.astype(self.dtype), wc, bc, wh, bh
+                    )
                 logits[name] = out[..., :a].reshape(b, h * w * a).astype(jnp.float32)
                 regs[name] = (
                     out[..., a:].reshape(b, h * w * a, 4).astype(jnp.float32)

@@ -44,12 +44,13 @@ FORCE_INTERPRET = False
 
 # Group-block-diagonal pooling (see _kernel): fuse POOL_GROUP ROIs into one
 # m=POOL_GROUP*S² matmul, dividing the pooling op count by POOL_GROUP (the
-# kernel is MXU-op-latency bound, not FLOP bound). CPU-interpret-validated
-# exact for 2 and 4, but held at 1 (off) until the queued v5e run lands
-# parity + a measured speedup for a group size — same gate discipline as
-# ops/fused_conv.ENABLE_ON_TPU (an unmeasured kernel never sits on the
-# bench path).
-POOL_GROUP = 1
+# kernel is MXU-op-latency bound, not FLOP bound). Measured on a real v5e
+# (tools/measure_fused.py --only pool, production 1k-ROI mixed-scale
+# workload): g=2 bit-exact vs g=1 and 1.08x faster (1359 vs 1468 us/1k
+# ROIs); g=4 crashes the axon Mosaic compiler (kept interpret-tested for
+# when the toolchain catches up). bench.py's per-round parity gate pins the
+# enabled configuration on hardware every round.
+POOL_GROUP = 2
 
 WINDOW_Y = 32        # rows per ROI window. Canonical FPN assignment
                      # (floor(k0+log2(sqrt(area)/224))) bounds sqrt(area) to

@@ -57,6 +57,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_local(tree, mesh: Mesh):
+    """Replicate a host-local pytree over the mesh WITHOUT communication.
+
+    ``jax.device_put`` onto a replicated sharding that spans multiple
+    processes runs a value-equality all-gather of the data itself
+    (multihost_utils.assert_equal inside _device_put_sharding_impl) — a
+    surprise collective whose gloo key-value exchange has a fixed 30 s
+    window, so any compile/load skew between hosts at that moment kills
+    the job (and the gather is payload-sized: the whole train state).
+    Every caller here computes the tree identically on each process (same
+    PRNG key, same program), so each process supplies its local copy
+    directly via make_array_from_callback — no collective, no window.
+    """
+    rep = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+
+    def place(x):
+        if x is None:
+            return None
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, rep, lambda idx: arr[idx])
+
+    return jax.tree.map(place, tree)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Place a Batch pytree with batch-axis sharding over the mesh.
 
@@ -70,6 +96,8 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
         if x is None:
             return None
         ok = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
-        return jax.device_put(x, sharding if ok else rep)
+        if ok:
+            return jax.device_put(x, sharding)
+        return replicate_local(x, mesh)
 
     return jax.tree.map(place, batch)

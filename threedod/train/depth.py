@@ -31,7 +31,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicate_local, shard_batch
 from .checkpoint import CheckpointManager
 
 logger = logging.getLogger(__name__)
@@ -180,7 +180,7 @@ class DepthTrainer:
         self.optimizer = build_depth_optimizer(params, self.base_lr, self.total_iters)
         opt_state = self.optimizer.init(params)
         state = DepthTrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
-        return jax.device_put(state, replicated(self.mesh))
+        return replicate_local(state, self.mesh)
 
     # ------------------------------------------------------------------
     def make_train_step(self) -> Callable:

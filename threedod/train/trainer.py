@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..parallel.mesh import make_mesh_for_batch, replicated, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate_local, shard_batch
 from .checkpoint import CheckpointManager
 from .events import EventStorage
 from .solver import build_optimizer, host_lr
@@ -71,9 +71,8 @@ class Trainer:
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
         )
-        # replicate over the mesh
-        rep = replicated(self.mesh)
-        return jax.device_put(state, rep)
+        # replicate over the mesh (communication-free — see replicate_local)
+        return replicate_local(state, self.mesh)
 
     # ------------------------------------------------------------------
     def make_train_step(self) -> Callable:

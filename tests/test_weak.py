@@ -108,13 +108,15 @@ class TestWeakLossPrimitives:
         )
 
         rng = np.random.RandomState(0)
-        b, m, h, w, nroi = 3, 4, 24, 32, 16
+        b, m, h, w, nroi = 4, 4, 24, 32, 16
         imgs = jnp.asarray(rng.rand(b, h, w).astype(np.float32))
         masks = jnp.asarray((rng.rand(b, m, h, w) > 0.5).astype(np.uint8))
         xy = rng.uniform(-8, 28, (nroi, 2)).astype(np.float32)
         wh = rng.uniform(2, 30, (nroi, 2)).astype(np.float32)
         boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
-        img_idx = jnp.asarray(rng.randint(0, b, nroi))
+        # image-major ROI order — the batch fast path's contract (see
+        # _box_window_batch docstring), matching the production call sites
+        img_idx = jnp.repeat(jnp.arange(b), nroi // b)
         gt_idx = jnp.asarray(rng.randint(0, m, nroi))
 
         wins, valids = _box_window_batch(imgs, img_idx, boxes, s=8)

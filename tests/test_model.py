@@ -144,6 +144,34 @@ class TestRCNN3D:
         det = model.apply(variables, batch, train=False)
         assert det.boxes.shape[1] == cfg.shapes.max_detections
 
+    def test_cube_pool_reuse_matches_repool(self, model_and_vars, monkeypatch):
+        """Train path pools once and feeds the cube branch the fg-prefix
+        SLICE of the box branch's pooled block (scale_roi_boxes==0, equal
+        resolutions). Per-ROI pooling is independent, so losses must match
+        an explicit re-pool of the fg boxes."""
+        from threedod.models.roi_heads3d import ROIHeads3D
+
+        cfg, model, variables, batch = model_and_vars
+        rngs = {"sampling": jax.random.PRNGKey(7)}
+        (reused, _), _ = model.apply(
+            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"]
+        )
+
+        orig = ROIHeads3D.cube_forward
+
+        def no_reuse(self, *args, pooled=None, **kw):
+            return orig(self, *args, pooled=None, **kw)
+
+        monkeypatch.setattr(ROIHeads3D, "cube_forward", no_reuse)
+        (repooled, _), _ = model.apply(
+            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"]
+        )
+        assert set(reused) == set(repooled)
+        for k in reused:
+            np.testing.assert_allclose(
+                float(reused[k]), float(repooled[k]), atol=1e-6, err_msg=k
+            )
+
     def test_2d_only_mode(self):
         cfg = tiny_cfg(**{"model.roi_cube_head.loss_w_3d": 0.0})
         model = build_model(cfg)

@@ -209,9 +209,10 @@ class ROIHeads3D(nn.Module):
     # ------------------------------------------------------------------
     # 2D box branch
     # ------------------------------------------------------------------
-    def box_branch_train(self, features, sampled: SampledROIs):
+    def box_branch_train(self, features, sampled: SampledROIs, pooled=None):
         b, s = sampled.classes.shape
-        pooled = self._pool(features, sampled.boxes, self.cfg.model.roi_box_head.pooler_resolution)
+        if pooled is None:
+            pooled = self._pool(features, sampled.boxes, self.cfg.model.roi_box_head.pooler_resolution)
         feats = self.box_head(pooled.reshape(b * s, *pooled.shape[2:]))
         scores, deltas = self.box_predictor(feats)
 
@@ -249,6 +250,7 @@ class ROIHeads3D(nn.Module):
         box_classes,  # (B, N)
         Ks_scaled,  # (B, 3, 3)
         v2r,  # (B,) virtual->real depth scale
+        pooled=None,  # optional precomputed pool of `boxes` (train-path reuse)
     ):
         c = self.cfg
         ch = c.model.roi_cube_head
@@ -260,7 +262,8 @@ class ROIHeads3D(nn.Module):
             half = (boxes[..., 2:] - boxes[..., :2]) * 0.5 * ch.scale_roi_boxes
             boxes_scaled = jnp.concatenate([ctr - half, ctr + half], axis=-1)
 
-        pooled = self._pool(features, boxes_scaled, ch.pooler_resolution)
+        if pooled is None:
+            pooled = self._pool(features, boxes_scaled, ch.pooler_resolution)
         raw = self.cube_head(pooled.reshape(b * n, *pooled.shape[2:]))
         deltas2d, z_raw, dims_raw, pose_raw, uncert_raw = raw
 
@@ -516,7 +519,17 @@ class ROIHeads3D(nn.Module):
         if train:
             key = self.make_rng("sampling")
             sampled = self.label_and_sample(key, proposals, gt)
-            losses, pred_boxes = self.box_branch_train(features, sampled)
+            # one pool for both branches: the cube branch pools the fg
+            # PREFIX of exactly the boxes the box branch pools, at the same
+            # resolution/sampling ratio, so its pooled block is a slice of
+            # the box branch's — pooling once saves a full Pallas pool
+            # forward + RMW backward per step (reference pools twice:
+            # roi_heads.py:2160 box pooler, :2237 cube pooler on the same
+            # sampled proposals).
+            res_box = c.model.roi_box_head.pooler_resolution
+            reuse_pool = ch.scale_roi_boxes <= 0 and ch.pooler_resolution == res_box
+            pooled_all = self._pool(features, sampled.boxes, res_box)
+            losses, pred_boxes = self.box_branch_train(features, sampled, pooled=pooled_all)
             metrics = {
                 "roi/num_fg": sampled.fg.sum() / sampled.fg.shape[0],
                 "roi/num_bg": (sampled.valid & ~sampled.fg).sum() / sampled.fg.shape[0],
@@ -527,7 +540,10 @@ class ROIHeads3D(nn.Module):
                 fg_boxes = sampled.boxes[:, :F]
                 fg_classes = sampled.classes[:, :F]
                 fg_mask = (sampled.fg[:, :F] & sampled.valid[:, :F]).reshape(-1)
-                out = self.cube_forward(features, fg_boxes, fg_classes, Ks_scaled, v2r)
+                out = self.cube_forward(
+                    features, fg_boxes, fg_classes, Ks_scaled, v2r,
+                    pooled=pooled_all[:, :F] if reuse_pool else None,
+                )
                 cube_losses, cube_metrics = self.cube_losses(
                     out,
                     sampled.gt_boxes3d[:, :F].reshape(-1, 9),

@@ -512,7 +512,12 @@ class ROIHeads3DScore(ROIHeads3D):
         key = self.make_rng("sampling")
         k_sample, k_weak = jax.random.split(key)
         sampled = self.label_and_sample(k_sample, proposals, gt)
-        losses, pred_boxes = self.box_branch_train(features, sampled)
+        # pool once for both branches (see roi_heads3d.__call__: the cube
+        # branch's fg-prefix pool is an exact slice of the box branch's)
+        res_box = c.model.roi_box_head.pooler_resolution
+        reuse_pool = ch.scale_roi_boxes <= 0 and ch.pooler_resolution == res_box
+        pooled_all = self._pool(features, sampled.boxes, res_box)
+        losses, pred_boxes = self.box_branch_train(features, sampled, pooled=pooled_all)
         metrics = {
             "roi/num_fg": sampled.fg.sum() / sampled.fg.shape[0],
             "roi/num_bg": (sampled.valid & ~sampled.fg).sum() / sampled.fg.shape[0],
@@ -521,7 +526,8 @@ class ROIHeads3DScore(ROIHeads3D):
             F = int(c.shapes.roi_batch * c.model.roi_heads.positive_fraction)
             prefix = jax.tree.map(lambda x: x[:, :F], sampled)
             out = self.cube_forward(
-                features, prefix.boxes, prefix.classes, Ks_scaled, v2r
+                features, prefix.boxes, prefix.classes, Ks_scaled, v2r,
+                pooled=pooled_all[:, :F] if reuse_pool else None,
             )
             weak_losses, weak_metrics = self.weak_cube_losses(
                 out, prefix, gt.masks, depth_maps, ground_maps, Ks_scaled, image_hw, k_weak

@@ -52,6 +52,18 @@ FORCE_INTERPRET = False
 # enabled configuration on hardware every round.
 POOL_GROUP = 2
 
+# Pipelined RMW backward (see _bwd_kernel): when True, the next ROI's
+# window read is issued before the in-flight write drains whenever the two
+# windows are provably disjoint (precomputed conf flags). Measured on v5e
+# (train shapes, bs8 x 512 clustered ROIs): NEUTRAL-to-slightly-slower
+# (12.8 vs 12.55 ms fwd+bwd with the narrow windows; 14.9 vs 14.9 at the
+# old 48-wide windows) — the RMW is HBM-traffic bound, not latency bound,
+# so overlapping read/write DMAs buys nothing and the extra pl.when
+# branches cost scalar-core time. Kept behind the flag (interpret-parity
+# pinned) for a future toolchain; the traffic lever that DID transfer is
+# the narrow f32 window family (BWD_X below).
+BWD_PIPELINE = False
+
 WINDOW_Y = 32        # rows per ROI window. Canonical FPN assignment
                      # (floor(k0+log2(sqrt(area)/224))) bounds sqrt(area) to
                      # <28 cells at the assigned level, but the *max extent*
@@ -79,6 +91,15 @@ S_PAD = 8  # output bins padded 7 -> 8 (f32 sublane tile)
 SMALL_Y = 16
 SMALL_X = 32
 SMALL_MAX_CELLS = 14.0
+
+# Backward x-window family: the grad buffer is f32, whose Mosaic sublane
+# tile is 8 (not bf16's 16), so the RMW windows only need 7 columns of
+# align slack instead of 15 — 32-tap budget + 7 = 40 (big), 16 + 7 = 24
+# (small). 17-25% less read+write traffic on a traffic-bound kernel, with
+# identical results (the trimmed columns carry exactly-zero tap weights).
+BWD_X = 40
+BWD_SMALL_X = 24
+BWD_ALIGN = 8
 
 
 def _rois_per_step(itemsize: int) -> int:
@@ -279,10 +300,19 @@ def _axis_weights(coords, origin, limit, n, s, r, window):
     return jnp.pad(w, ((0, 0), (0, S_PAD - s), (0, 0)))
 
 
-def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
+def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
+          win_x=WINDOW_X, small_x=SMALL_X, align=16):
     """Shared forward/backward geometry: padded buffer dims, level
     assignment (with the fit-budget bump), window origins, and per-axis tap
-    weights, all padded to the grid multiple."""
+    weights, all padded to the grid multiple.
+
+    win_x/small_x/align parameterize the x-window family: the forward's
+    bf16 feature buffer needs 16-sublane-aligned slices (win_x=48 = 32-tap
+    budget + 15 align slack), while the backward's f32 grad buffer only
+    needs 8 — its narrower windows (40/24) move 17-25% fewer RMW bytes for
+    identical results (the extra columns carry exactly-zero tap weights
+    either way). The y window and the level-bump rule are shared, so both
+    passes always agree on level assignment and sampling positions."""
     names = sorted(features.keys())
     level_ids = [int(n[1:]) for n in names]
     lmin, lmax = min(level_ids), max(level_ids)
@@ -296,8 +326,8 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
     # are harmless and the backward's RMW adds zeros. Width padded so the
     # clip bound (w0 - WINDOW_X) is 16-aligned — otherwise right-edge ROIs
     # get a rounded-down origin whose window misses their last taps.
-    w0 = max(features[names[0]].shape[1], WINDOW_X)
-    w0 = WINDOW_X + -(-(w0 - WINDOW_X) // 16) * 16
+    w0 = max(features[names[0]].shape[1], win_x)
+    w0 = win_x + -(-(w0 - win_x) // align) * align
     dtype = features[names[0]].dtype
 
     hs = [features[nm].shape[0] for nm in names]
@@ -347,13 +377,13 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step):
     fx = jnp.floor(sx[:, 0]).astype(jnp.int32)
     x0w = jnp.where(
         small == 1,
-        jnp.clip(fx, 0, w0 - SMALL_X),
-        jnp.clip(fx, 0, w0 - WINDOW_X),
+        jnp.clip(fx, 0, w0 - small_x),
+        jnp.clip(fx, 0, w0 - win_x),
     )
-    x0w = (x0w // 16) * 16
+    x0w = (x0w // align) * align
 
     ay = _axis_weights(sy, y0w, lvl_h, n, s, r, WINDOW_Y).astype(dtype)
-    ax = _axis_weights(sx, x0w, lvl_w, n, s, r, WINDOW_X).astype(dtype)
+    ax = _axis_weights(sx, x0w, lvl_w, n, s, r, win_x).astype(dtype)
 
     # fold the level offset in: kernels index the stacked plane directly
     y0g = offs_a[assign] + y0w
@@ -448,32 +478,44 @@ def _pallas_forward(
     return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
 
 
-def _bwd_kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
+def _bwd_kernel(y0_ref, x0_ref, cls_ref, conf_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
     del dbuf_in  # aliased to dbuf_ref (the output) — all access goes there
     """Backward: accumulate dwin = Mᵀ·g into the stacked f32 grad buffer.
 
-    Windows of different ROIs overlap, so the accumulation is a strictly
-    serialized read-modify-write per ROI (the TPU grid is sequential, and
-    each write completes before the next read is issued). The Mᵀ factor is
-    built like the forward's M but transposed-by-construction — selector
-    matmuls with (hw, WINDOW)/(S_PAD, ss) iota masks, no relayouts.
-    Small-class ROIs read-modify-write only the (SMALL_Y, SMALL_X) corner
-    (their dwin is exactly zero elsewhere — the tap weights are zero).
+    Windows of different ROIs overlap, so the accumulation is a
+    read-modify-write per ROI with at most ONE write in flight, pipelined
+    by a precomputed conflict flag: conf[i] == 1 iff ROI i's window
+    intersects ROI i-1's (processing order). When the next ROI's window is
+    disjoint from the in-flight write, its read DMA is issued BEFORE
+    waiting on that write — hiding the read latency behind the write (and
+    behind the next step's compute); when it conflicts, the write is
+    drained first, which preserves the exact serialized-RMW semantics.
+    Writes are always waited within their own iteration, so only the
+    immediately-preceding write can be in flight — pairwise-adjacent
+    conflict flags are sufficient for full-chain correctness.
+
+    The Mᵀ factor is built like the forward's M but
+    transposed-by-construction — selector matmuls with (hw, WINDOW)/
+    (S_PAD, ss) iota masks, no relayouts. Small-class ROIs
+    read-modify-write only the (SMALL_Y, BWD_SMALL_X) corner (their dwin is
+    exactly zero elsewhere — the tap weights are zero).
     """
     r = ay_ref.shape[0]
     c = g_ref.shape[-1]
-    base = pl.program_id(0) * r
+    i = pl.program_id(0)
+    num = pl.num_programs(0)
+    base = i * r
     dt = ay_ref.dtype
     prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
-    ss, hw = S_PAD * S_PAD, WINDOW_Y * WINDOW_X
+    ss, hw = S_PAD * S_PAD, WINDOW_Y * BWD_X
     # rowsT (hw, WINDOW): rowsT[(h,w), h'] = (h == h'); colsT (S_PAD, ss)
     rh = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_Y), 0)
     ch = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_Y), 1)
-    rowsT_y = (rh // WINDOW_X == ch).astype(dt)
-    rw = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_X), 0)
-    cw = jax.lax.broadcasted_iota(jnp.int32, (hw, WINDOW_X), 1)
-    rowsT_x = (rw % WINDOW_X == cw).astype(dt)
+    rowsT_y = (rh // BWD_X == ch).astype(dt)
+    rw = jax.lax.broadcasted_iota(jnp.int32, (hw, BWD_X), 0)
+    cw = jax.lax.broadcasted_iota(jnp.int32, (hw, BWD_X), 1)
+    rowsT_x = (rw % BWD_X == cw).astype(dt)
     rs = jax.lax.broadcasted_iota(jnp.int32, (S_PAD, ss), 0)
     cs = jax.lax.broadcasted_iota(jnp.int32, (S_PAD, ss), 1)
     colsT_y = (cs // S_PAD == rs).astype(dt)
@@ -492,49 +534,127 @@ def _bwd_kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_re
         ).astype(dt)  # (hw, S_PAD)
         return jnp.dot(t, colsT, preferred_element_type=jnp.float32, precision=prec).astype(dt)
 
-    def rmw(j):
-        roi = base + j
+    def dst_small(roi):
+        return dbuf_ref.at[
+            pl.ds(y0_ref[roi], SMALL_Y),
+            pl.ds(pl.multiple_of(x0_ref[roi], BWD_ALIGN), BWD_SMALL_X),
+            :,
+        ]
+
+    def dst_big(roi):
+        return dbuf_ref.at[
+            pl.ds(y0_ref[roi], WINDOW_Y),
+            pl.ds(pl.multiple_of(x0_ref[roi], BWD_ALIGN), BWD_X),
+            :,
+        ]
+
+    def slot_small(j):
+        return win.at[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :]
+
+    def rd(roi, j, act):
         small = cls_ref[roi] == 1
-
-        def dst(wy, wx):
-            return dbuf_ref.at[
-                pl.ds(y0_ref[roi], wy),
-                pl.ds(pl.multiple_of(x0_ref[roi], 16), wx),
-                :,
-            ]
-
-        mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
 
         @pl.when(small)
         def _():
-            d = dst(SMALL_Y, SMALL_X)
-            sl = win.at[j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :]
-            rd = pltpu.make_async_copy(d, sl, rsem.at[j])
-            rd.start()
-            dwin = jnp.dot(mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec)
-            rd.wait()
-            win[j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :] = (
-                win[j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :]
-                + dwin.reshape(WINDOW_Y, WINDOW_X, c)[:SMALL_Y, :SMALL_X]
-            )
-            wr = pltpu.make_async_copy(sl, d, wsem.at[j])
-            wr.start()
-            wr.wait()  # overlap hazard: the next ROI may read this window
+            cp = pltpu.make_async_copy(dst_small(roi), slot_small(j), rsem.at[j])
+            cp.start() if act == "start" else cp.wait()
 
         @pl.when(jnp.logical_not(small))
         def _():
-            d = dst(WINDOW_Y, WINDOW_X)
-            rd = pltpu.make_async_copy(d, win.at[j], rsem.at[j])
-            rd.start()
-            dwin = jnp.dot(mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec)
-            rd.wait()
-            win[j] = win[j] + dwin.reshape(WINDOW_Y, WINDOW_X, c)
-            wr = pltpu.make_async_copy(win.at[j], d, wsem.at[j])
-            wr.start()
-            wr.wait()  # overlap hazard: the next ROI may read this window
+            cp = pltpu.make_async_copy(dst_big(roi), win.at[j], rsem.at[j])
+            cp.start() if act == "start" else cp.wait()
+
+    def wr(roi, j, act):
+        small = cls_ref[roi] == 1
+
+        @pl.when(small)
+        def _():
+            cp = pltpu.make_async_copy(slot_small(j), dst_small(roi), wsem.at[j])
+            cp.start() if act == "start" else cp.wait()
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            cp = pltpu.make_async_copy(win.at[j], dst_big(roi), wsem.at[j])
+            cp.start() if act == "start" else cp.wait()
+
+    def drain_then_read(roi, j, nxt, slot):
+        """Issue the next read around the in-flight write: before it when
+        disjoint (overlap), after it when conflicting (exact RMW chain)."""
+
+        @pl.when(conf_ref[nxt] == 1)
+        def _():
+            wr(roi, j, "wait")
+
+        rd(nxt, slot, "start")
+
+        @pl.when(conf_ref[nxt] == 0)
+        def _():
+            wr(roi, j, "wait")
+
+    if not BWD_PIPELINE:
+        # strictly serialized schedule: write drains before the next read
+        for j in range(r):
+            roi = base + j
+            small = cls_ref[roi] == 1
+            rd(roi, j, "start")
+            mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
+            dwin = jnp.dot(
+                mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec
+            )
+            rd(roi, j, "wait")
+
+            @pl.when(small)
+            def _():
+                win[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :] = (
+                    win[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :]
+                    + dwin.reshape(WINDOW_Y, BWD_X, c)[:SMALL_Y, :BWD_SMALL_X]
+                )
+
+            @pl.when(jnp.logical_not(small))
+            def _():
+                win[j] = win[j] + dwin.reshape(WINDOW_Y, BWD_X, c)
+
+            wr(roi, j, "start")
+            wr(roi, j, "wait")
+        return
+
+    @pl.when(i == 0)
+    def _():
+        rd(base, 0, "start")
 
     for j in range(r):
-        rmw(j)
+        roi = base + j
+        small = cls_ref[roi] == 1
+        mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
+        dwin = jnp.dot(
+            mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec
+        )
+        rd(roi, j, "wait")
+
+        @pl.when(small)
+        def _():
+            win[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :] = (
+                win[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :]
+                + dwin.reshape(WINDOW_Y, BWD_X, c)[:SMALL_Y, :BWD_SMALL_X]
+            )
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            win[j] = win[j] + dwin.reshape(WINDOW_Y, BWD_X, c)
+
+        wr(roi, j, "start")
+        if j + 1 < r:
+            drain_then_read(roi, j, roi + 1, j + 1)
+        else:
+            # cross-step prefetch: next step's first read rides this step's
+            # write drain (same schedule, slot 0)
+            @pl.when(i + 1 < num)
+            def _():
+                drain_then_read(roi, j, roi + 1, 0)
+
+            @pl.when(i + 1 == num)
+            def _():
+                wr(roi, j, "wait")
 
 
 def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
@@ -542,7 +662,8 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     accumulation in f32. Returns a dict matching `features`."""
     dtype = next(iter(features.values())).dtype
     rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
-    p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step)
+    p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
+              win_x=BWD_X, small_x=BWD_SMALL_X, align=BWD_ALIGN)
     names, c, h_stack, w0 = p["names"], p["c"], p["h_stack"], p["w0"]
     n, n_pad = p["n"], p["n_pad"]
     y0w, x0w, ay, ax = p["y0w"], p["x0w"], p["ay"], p["ax"]
@@ -556,8 +677,21 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
 
     dbuf = jnp.zeros((h_stack, w0, c), jnp.float32)
 
+    # pairwise-adjacent window conflicts for the pipelined RMW: conf[i] = 1
+    # iff ROI i's window intersects ROI i-1's (per-ROI extents by class).
+    # One trailing element so the kernel's guarded cross-step read at
+    # roi == n_pad stays in bounds.
+    wy = jnp.where(small == 1, SMALL_Y, WINDOW_Y)
+    wx = jnp.where(small == 1, BWD_SMALL_X, BWD_X)
+    ovl_y = (y0w[1:] < y0w[:-1] + wy[:-1]) & (y0w[:-1] < y0w[1:] + wy[1:])
+    ovl_x = (x0w[1:] < x0w[:-1] + wx[:-1]) & (x0w[:-1] < x0w[1:] + wx[1:])
+    conf = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (ovl_y & ovl_x).astype(jnp.int32),
+         jnp.zeros((1,), jnp.int32)]
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_pad // rois_per_step,),
         in_specs=[
             pl.BlockSpec(
@@ -565,7 +699,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (rois_per_step, S_PAD, WINDOW_X), lambda i, *_: (i, 0, 0),
+                (rois_per_step, S_PAD, BWD_X), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -576,7 +710,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((rois_per_step, WINDOW_Y, WINDOW_X, c), jnp.float32),
+            pltpu.VMEM((rois_per_step, WINDOW_Y, BWD_X, c), jnp.float32),
             pltpu.SemaphoreType.DMA((rois_per_step,)),
             pltpu.SemaphoreType.DMA((rois_per_step,)),
         ],
@@ -585,16 +719,16 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dbuf.shape, jnp.float32),
-        # operand index counts the scalar-prefetch args first (3 scalars +
-        # ay, ax, g, dbuf -> dbuf is operand 6)
-        input_output_aliases={6: 0},
+        # operand index counts the scalar-prefetch args first (4 scalars +
+        # ay, ax, g, dbuf -> dbuf is operand 7)
+        input_output_aliases={7: 0},
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * WINDOW_X * c,
-            bytes_accessed=2 * n_pad * WINDOW_Y * WINDOW_X * c * 4,
+            flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * BWD_X * c,
+            bytes_accessed=2 * n_pad * WINDOW_Y * BWD_X * c * 4,
             transcendentals=0,
         ),
         interpret=FORCE_INTERPRET,
-    )(y0w, x0w, small, ay, ax, gp, dbuf)
+    )(y0w, x0w, small, conf, ay, ax, gp, dbuf)
 
     dfeat = {}
     for off, nm in zip(p["offs"], names):

@@ -166,6 +166,28 @@ class TestMatcherSampler:
         assert int(np.asarray(is_fg).sum()) == 3  # all available fg
         assert int(np.asarray(valid).sum()) == 8  # backfilled with bg
 
+    def test_top_take_mask_matches_rank_selection(self):
+        """The radix-bisection top-take mask must select exactly the set the
+        double-argsort rank construction selected (rank < take <=> value >=
+        take-th largest; ties are measure-zero for continuous keys)."""
+        from threedod.ops.order_stats import top_take_mask
+
+        rng = np.random.RandomState(0)
+        for t in range(25):
+            vals = rng.randn(500).astype(np.float32)
+            mask = rng.rand(500) < rng.uniform(0.02, 0.5)
+            take = int(rng.randint(0, 30))
+            key = np.where(mask, vals, -np.inf)
+            rank = np.argsort(np.argsort(-key))
+            expected = mask & (rank < min(take, int(mask.sum())))
+            got = np.asarray(
+                top_take_mask(
+                    jnp.asarray(vals)[None], jnp.asarray(mask)[None],
+                    jnp.asarray([take]),
+                )[0]
+            )
+            np.testing.assert_array_equal(got, expected, err_msg=f"trial {t}")
+
     def test_iou_weighting_bias(self):
         # candidates with iou ~1 should be sampled far more often than ~0.01
         labels = jnp.asarray(np.ones(100, np.int32))

@@ -26,7 +26,6 @@ from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
 from .backbones.layers import ConvWithBiasParams
 from ..ops.matcher import (
     apply_ignore_regions,
-    best_candidate_mask,
     match_candidates,
     subsample_fg_bg,
 )
@@ -183,13 +182,22 @@ class RPN:
             lab = jnp.where(sampled & (labels == 1), 1, lab)
             lab = jnp.where(sampled & (labels == 0), 0, lab)
             # force-keep best anchors per gt even if the sampler dropped them
-            # (reference rpn.py:81-84)
-            forced = best_candidate_mask(gtb, valid_gt, self.anchors_cat)
-            lab = jnp.where(forced, 1, lab)
+            # (reference rpn.py:81-84); the matcher already computed the
+            # argmax-anchor mask (allow_low_quality) — reuse it instead of
+            # a second (M, R) IoU matrix
+            lab = jnp.where(m.forced, 1, lab)
             # ignore regions
             lab = apply_ignore_regions(lab, self.anchors_cat, gtb, ign_gt, r.ignore_threshold)
 
-            matched_gt = gtb[m.matched_idxs]
+            # matched gt boxes via one-hot matmul, not an (R,)-indexed
+            # gather (advanced-index gathers lower to per-element scalar
+            # fetches on TPU — CLAUDE.md rule); exact: one nonzero per row
+            onehot = (
+                m.matched_idxs[:, None] == jnp.arange(gtb.shape[0])[None, :]
+            ).astype(gtb.dtype)
+            matched_gt = jax.lax.dot(
+                onehot, gtb, precision=jax.lax.Precision.HIGHEST
+            )
             return lab, matched_gt, m.matched_ious
 
         keys = jax.random.split(key, b)

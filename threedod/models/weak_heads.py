@@ -128,42 +128,10 @@ def z_search_loss(gt_boxes, centers, dims, poses, z, Ks, im_w, im_h, max_count=5
     return jnp.where(within, loss, 0.1 * max_count) / 2.0
 
 
-_F32_SIGN = jnp.uint32(0x80000000)
-
-
-def _order_keys(v):
-    """Order-preserving map f32 -> uint32 (the radix-sort key transform):
-    non-negative floats keep their bit pattern with the sign bit set;
-    negative floats are bitwise-complemented."""
-    u = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32)
-    return jnp.where((u & _F32_SIGN) != 0, ~u, u | _F32_SIGN)
-
-
-def _kth_smallest(keys, idx):
-    """Exact k-th order statistic per row by bisection on the uint32 key
-    space: 32 fixed (N, K)-compare passes instead of a sort.
-
-    jnp.sort is the wrong tool on TPU for this shape — a (2048, 1024) f32
-    row sort costs ~15-20 ms on a v5e while these passes are plain VPU
-    compare+reduce (~1 ms), and the result is bit-identical: the bisection
-    converges to the smallest key whose rank reaches idx+1, which IS the
-    idx-th order statistic. keys (N, K) uint32 from _order_keys; idx (N,)
-    0-based rank. Returns (N,) f32.
-    """
-    lo = jnp.zeros(keys.shape[:-1], jnp.uint32)
-    hi = jnp.full(keys.shape[:-1], jnp.uint32(0xFFFFFFFF))
-    target = (idx + 1).astype(jnp.int32)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = lo + (hi - lo) // 2
-        cnt = jnp.sum((keys <= mid[..., None]).astype(jnp.int32), axis=-1)
-        take = cnt >= target  # answer <= mid
-        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    u = jnp.where((hi & _F32_SIGN) != 0, hi ^ _F32_SIGN, ~hi)
-    return jax.lax.bitcast_convert_type(u, jnp.float32)
+# radix order-statistic machinery shared with the RPN subsampler — see
+# ops/order_stats.py for the sort-vs-bisection rationale
+from ..ops.order_stats import kth_smallest as _kth_smallest  # noqa: E402
+from ..ops.order_stats import order_keys as _order_keys  # noqa: E402
 
 
 def masked_quantile(values, mask, q):

@@ -16,12 +16,16 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.boxes2d import pairwise_ioa, pairwise_iou
+from .order_stats import top_take_mask
 
 
 class MatchResult(NamedTuple):
     matched_idxs: jnp.ndarray  # (R,) best gt index per candidate
     matched_labels: jnp.ndarray  # (R,) -1 ignore / 0 bg / 1 fg
     matched_ious: jnp.ndarray  # (R,) iou with matched gt
+    forced: jnp.ndarray = None  # (R,) candidate is some gt's argmax anchor
+    #                             (set when allow_low_quality; saves callers
+    #                             recomputing the IoU matrix for force-keep)
 
 
 def match_candidates(
@@ -46,6 +50,7 @@ def match_candidates(
 
     labels = jnp.where(matched_ious >= fg_thresh, 1, jnp.where(matched_ious < bg_thresh, 0, -1))
 
+    forced = jnp.zeros(candidates.shape[0], bool)
     if allow_low_quality:
         # for each valid gt, its best candidate(s) become fg
         best_per_gt = iou.max(axis=1, keepdims=True)  # (M, 1)
@@ -57,7 +62,7 @@ def match_candidates(
     any_gt = jnp.any(gt_valid)
     labels = jnp.where(any_gt, labels, 0)
     matched_ious = jnp.where(any_gt, jnp.maximum(matched_ious, 0.0), 0.0)
-    return MatchResult(matched_idxs, labels, matched_ious)
+    return MatchResult(matched_idxs, labels, matched_ious, forced)
 
 
 def best_candidate_mask(gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray, candidates: jnp.ndarray) -> jnp.ndarray:
@@ -129,19 +134,27 @@ def subsample_fg_bg(
     is_bg = labels == 0
     w = matched_ious + eps
 
+    # "rank among fg < take" == "key >= take-th largest fg key": the
+    # selected SET is identical, but the threshold comes from a 32-pass
+    # radix bisection (ops/order_stats.py) instead of a double argsort —
+    # at RPN anchor counts (~85k) the four full SortOps this replaces were
+    # the single largest cost of the whole train-step forward (~13 ms/step
+    # measured on v5e; see docs/DESIGN.md 9e).
     g_fg = jax.random.gumbel(kf, (r,))
-    fg_key = jnp.where(is_fg, jnp.log(w) + g_fg, -jnp.inf)
-    # rank of each candidate among fg by sampled key
-    fg_rank = jnp.argsort(jnp.argsort(-fg_key))
+    fg_val = jnp.log(w) + g_fg
+    fg_key = jnp.where(is_fg, fg_val, -jnp.inf)
     n_fg = jnp.sum(is_fg)
     fg_take = jnp.minimum(n_fg, k_fg_max)
-    fg_selected = is_fg & (fg_rank < fg_take) if k_fg_max > 0 else jnp.zeros((r,), bool)
+    if k_fg_max > 0:
+        fg_selected = top_take_mask(fg_val[None], is_fg[None], fg_take[None])[0]
+    else:
+        fg_selected = jnp.zeros((r,), bool)
 
     g_bg = jax.random.gumbel(kb, (r,))
-    bg_key = jnp.where(is_bg, jnp.log(w) + g_bg, -jnp.inf)
-    bg_rank = jnp.argsort(jnp.argsort(-bg_key))
+    bg_val = jnp.log(w) + g_bg
+    bg_key = jnp.where(is_bg, bg_val, -jnp.inf)
     bg_take = jnp.minimum(jnp.sum(is_bg), num_samples - fg_take)
-    bg_selected = is_bg & (bg_rank < bg_take)
+    bg_selected = top_take_mask(bg_val[None], is_bg[None], bg_take[None])[0]
 
     # priority ordering: fg first (by key), then bg (by key)
     BIG = 1e9

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.batch import Batch, normalize_image
+from ..utils import debug
 from .backbones import build_backbone
 from .roi_heads3d import ROIHeads3D
 from .rpn import RPN, RPNHead
@@ -38,6 +39,7 @@ class RCNN3D(nn.Module):
     def __call__(self, batch: Batch, train: bool = False, oracle: bool = False):
         c = self.cfg
         feats = self.backbone(normalize_image(batch.image, c.model, batch.image_hw), train=train)
+        feats = debug.sg("trunk", feats)  # profiling seam (identity in prod)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s
@@ -48,6 +50,7 @@ class RCNN3D(nn.Module):
         feature_shapes = {f: (rpn_feats[f].shape[1], rpn_feats[f].shape[2]) for f in rpn_feats}
         rpn = RPN(c, feature_shapes)
         logits, regs = self.rpn_head(rpn_feats, train=train)
+        logits, regs = debug.sg("rpnhead", (logits, regs))  # profiling seam
 
         roi_feats = {f: feats[f] for f in c.model.roi_heads.in_features}
 

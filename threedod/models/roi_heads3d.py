@@ -204,7 +204,9 @@ class ROIHeads3D(nn.Module):
                 sampling_ratio=max(self.cfg.model.roi_box_head.pooler_sampling_ratio, 2),
             )
 
-        return jax.vmap(one)(features, boxes).astype(jnp.float32)
+        from ..utils import debug
+
+        return debug.sg("pool", jax.vmap(one)(features, boxes).astype(jnp.float32))
 
     # ------------------------------------------------------------------
     # 2D box branch

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.batch import Batch, normalize_image
+from ..utils import debug
 from .backbones import build_backbone
 from .rpn import RPN, RPNHead
 from .weak_heads import ROIHeads3DScore
@@ -38,6 +39,7 @@ class RCNN3DCombined(nn.Module):
     def __call__(self, batch: Batch, train: bool = False):
         c = self.cfg
         feats = self.backbone(normalize_image(batch.image, c.model, batch.image_hw), train=train)
+        feats = debug.sg("trunk", feats)  # profiling seam (identity in prod)
         # features stay in the backbone compute dtype (bf16): the RPN head
         # computes in bf16 and emits f32 logits, and the ROI pooler casts
         # to its own pool dtype — an eager f32 cast here only adds ~0.5 GB/s

@@ -114,6 +114,29 @@ class TestNMS:
         keep = np.asarray(nms_mask(boxes, scores, 0.5, valid=jnp.asarray([True, False])))
         assert keep.tolist() == [True, False]
 
+    def test_blocked_matches_fixpoint(self):
+        # nms_mask_blocked must reproduce nms_mask exactly, including on
+        # dense clusters (long suppression chains crossing block edges),
+        # invalid entries, and N not divisible by the block size.
+        from threedod.ops.nms import nms_mask_blocked
+
+        rng = np.random.RandomState(7)
+        for n, block in [(300, 64), (257, 64), (512, 128), (90, 32)]:
+            # half scattered, half piled into 4 tight clusters
+            xy = rng.uniform(0, 400, (n, 2)).astype(np.float32)
+            centers = rng.uniform(50, 350, (4, 2))
+            m = n // 2
+            xy[:m] = centers[rng.randint(0, 4, m)] + rng.uniform(-8, 8, (m, 2))
+            wh = rng.uniform(10, 60, (n, 2)).astype(np.float32)
+            boxes = jnp.asarray(np.concatenate([xy, xy + wh], axis=1))
+            scores = jnp.asarray(rng.rand(n).astype(np.float32))
+            valid = jnp.asarray(rng.rand(n) > 0.05)
+            ref = np.asarray(nms_mask(boxes, scores, 0.5, valid=valid))
+            got = np.asarray(
+                nms_mask_blocked(boxes, scores, 0.5, valid=valid, block=block)
+            )
+            assert (ref == got).all(), (n, block)
+
     def test_batched_by_class(self):
         # identical boxes, different classes: both survive
         boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)

@@ -13,7 +13,7 @@ from .matcher import (
     subsample_fg_bg,
     weighted_topk_sample,
 )
-from .nms import batched_nms, nms_mask, topk_by_mask
+from .nms import batched_nms, nms_mask, nms_mask_blocked, topk_by_mask
 from .roi_align import (
     assign_fpn_levels,
     multilevel_roi_align,

@@ -55,6 +55,78 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, vali
     return keep
 
 
+def nms_mask_blocked(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Exact greedy NMS keep-mask, blocked over the score order.
+
+    Same semantics as :func:`nms_mask` (equivalence-tested). Different
+    schedule: the whole-array Jacobi fixpoint re-reads a materialized
+    (N, N) suppression matrix every round (~R x N^2 bytes of HBM traffic);
+    this version walks score-ordered blocks of `block` candidates. Earlier
+    blocks are FINAL when a block is processed, so each block needs one
+    (block, <=N) cross-suppression pass against kept-so-far plus a tiny
+    (block, block) in-block fixpoint — total one N^2 IoU evaluation with
+    no materialized full matrix, independent of chain length.
+
+    Measured on v5e (40 instances x N=2000, bit-identical results):
+    standalone with heavily clustered boxes 8.1 -> 5.9 ms/call; but
+    IN-MODEL (rpn.predict_proposals, clustered score maps) the delta is
+    zero within relay noise — the fixpoint there is matrix-build bound,
+    not chain bound. Per the two-stage shipping gate the RPN call-site
+    keeps the simpler fixpoint; use this variant where candidate sets are
+    larger or peak memory matters (no (N, N) f32 IoU materialized).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    if n <= block:
+        return nms_mask(boxes, scores, iou_threshold, valid=valid)
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    sorted_boxes = boxes[order]
+    sorted_valid = valid[order]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        sorted_boxes = jnp.pad(sorted_boxes, ((0, pad), (0, 0)))
+        sorted_valid = jnp.pad(sorted_valid, (0, pad))
+    npad = nb * block
+    pos = jnp.arange(npad)
+
+    def body(i, keep):
+        start = i * block
+        blk = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (block, 4))
+        blk_valid = jax.lax.dynamic_slice(sorted_valid, (start,), (block,))
+        # suppression by kept boxes from earlier (final) blocks
+        iou_prior = pairwise_iou(blk, sorted_boxes)  # (block, npad)
+        earlier_kept = keep & (pos < start)
+        alive = blk_valid & ~jnp.any(
+            (iou_prior > iou_threshold) & earlier_kept[None, :], axis=1
+        )
+        # in-block greedy: small fixpoint on the (block, block) submatrix
+        iou_blk = jax.lax.dynamic_slice(iou_prior, (0, start), (block, block))
+        tri = jnp.arange(block)[None, :] < jnp.arange(block)[:, None]
+        sup = (iou_blk > iou_threshold) & tri & alive[None, :]
+
+        def cond(c):
+            k, prev, first = c
+            return first | jnp.any(k != prev)
+
+        def step(c):
+            k, _, _ = c
+            return alive & ~jnp.any(sup & k[None, :], axis=1), k, jnp.zeros((), bool)
+
+        kb, _, _ = jax.lax.while_loop(cond, step, (alive, alive, jnp.ones((), bool)))
+        return jax.lax.dynamic_update_slice(keep, kb, (start,))
+
+    keep_sorted = jax.lax.fori_loop(0, nb, body, jnp.zeros((npad,), bool))[:n]
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

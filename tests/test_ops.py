@@ -211,6 +211,36 @@ class TestMatcherSampler:
             )
             np.testing.assert_array_equal(got, expected, err_msg=f"trial {t}")
 
+    def test_fused_match_and_ignore_matches_sequential(self):
+        """match_and_ignore (one shared intersection matrix) must reproduce
+        match_candidates + apply_ignore_regions bit-exactly, including mixed
+        valid/ignore GT, empty-ignore, and no-GT cases."""
+        from threedod.ops.matcher import apply_ignore_regions, match_and_ignore
+
+        rng = np.random.RandomState(3)
+        for t in range(12):
+            m_gt, r_c = 16, 400
+            xy = rng.uniform(0, 200, (m_gt, 2)).astype(np.float32)
+            wh = rng.uniform(5, 80, (m_gt, 2)).astype(np.float32)
+            gtb = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+            gtv = jnp.asarray(rng.rand(m_gt) > (0.95 if t == 0 else 0.3))
+            ign = jnp.asarray(rng.rand(m_gt) > (1.1 if t == 1 else 0.6)) & gtv
+            valid_gt = gtv & ~ign
+            cxy = rng.uniform(0, 220, (r_c, 2)).astype(np.float32)
+            cwh = rng.uniform(5, 90, (r_c, 2)).astype(np.float32)
+            cands = jnp.asarray(np.concatenate([cxy, cxy + cwh], -1))
+
+            ref_m = match_candidates(gtb, valid_gt, cands, 0.3, 0.7, allow_low_quality=True)
+            got_m, in_ign = match_and_ignore(
+                gtb, valid_gt, ign, cands, 0.3, 0.7, 0.5, allow_low_quality=True
+            )
+            for a, b in zip(ref_m, got_m):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            labels = ref_m.matched_labels
+            ref_lab = apply_ignore_regions(labels, cands, gtb, ign, 0.5)
+            got_lab = jnp.where(in_ign & (labels == 0), -1, labels)
+            np.testing.assert_array_equal(np.asarray(ref_lab), np.asarray(got_lab))
+
     def test_iou_weighting_bias(self):
         # candidates with iou ~1 should be sampled far more often than ~0.01
         labels = jnp.asarray(np.ones(100, np.int32))

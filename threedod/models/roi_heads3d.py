@@ -38,7 +38,7 @@ from ..geometry.misc import (
 )
 from ..geometry.rotations import R_from_allocentric, R_to_allocentric, so3_relative_angle
 from ..ops.losses import cross_entropy, safely_reduce_losses, smooth_l1_loss
-from ..ops.matcher import apply_ignore_regions, match_candidates, subsample_fg_bg
+from ..ops.matcher import match_and_ignore, subsample_fg_bg
 from ..ops.nms import batched_nms
 from ..ops.roi_align import multilevel_roi_align_windowed
 from ..ops.roi_align_pallas import pallas_roi_align_available
@@ -143,12 +143,13 @@ class ROIHeads3D(nn.Module):
             valid_gt = gtv & (gtc >= 0)
             ign_gt = gtv & (gtc < 0)
 
-            m = match_candidates(
-                gtb, valid_gt, cand,
+            m, in_ignore = match_and_ignore(
+                gtb, valid_gt, ign_gt, cand,
                 bg_thresh=rh.iou_thresholds[0], fg_thresh=rh.iou_thresholds[1],
+                ignore_thresh=c.model.rpn.ignore_threshold,
             )
             labels = jnp.where(cand_valid, m.matched_labels, -1)
-            labels = apply_ignore_regions(labels, cand, gtb, ign_gt, c.model.rpn.ignore_threshold)
+            labels = jnp.where(in_ignore & (labels == 0), -1, labels)
 
             idx, is_fg, sel_valid = subsample_fg_bg(
                 key_i, labels, m.matched_ious, S, rh.positive_fraction

@@ -24,11 +24,7 @@ from flax import linen as nn
 from ..geometry.boxes2d import Box2BoxTransform, clip_boxes
 from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
 from .backbones.layers import ConvWithBiasParams
-from ..ops.matcher import (
-    apply_ignore_regions,
-    match_candidates,
-    subsample_fg_bg,
-)
+from ..ops.matcher import match_and_ignore, subsample_fg_bg
 from ..ops import fused_conv
 from ..ops.nms import nms_mask
 
@@ -167,9 +163,10 @@ class RPN:
         def per_image(key_i, gtb, gtc, gtv):
             valid_gt = gtv & (gtc >= 0)
             ign_gt = gtv & (gtc < 0)
-            m = match_candidates(
-                gtb, valid_gt, self.anchors_cat,
+            m, in_ignore = match_and_ignore(
+                gtb, valid_gt, ign_gt, self.anchors_cat,
                 bg_thresh=r.iou_thresholds[0], fg_thresh=r.iou_thresholds[1],
+                ignore_thresh=r.ignore_threshold,
                 allow_low_quality=True,
             )
             labels = m.matched_labels
@@ -186,8 +183,9 @@ class RPN:
             # argmax-anchor mask (allow_low_quality) — reuse it instead of
             # a second (M, R) IoU matrix
             lab = jnp.where(m.forced, 1, lab)
-            # ignore regions
-            lab = apply_ignore_regions(lab, self.anchors_cat, gtb, ign_gt, r.ignore_threshold)
+            # ignore regions (mask precomputed by the fused matcher —
+            # applied after sampling, reference order rpn.py:93-105)
+            lab = jnp.where(in_ignore & (lab == 0), -1, lab)
 
             # matched gt boxes via one-hot matmul, not an (R,)-indexed
             # gather (advanced-index gathers lower to per-element scalar

@@ -148,6 +148,27 @@ def main():
 
     res["ignore_regions_x8"] = t_scalar(f_ign, labels, gtb, gtv)
 
+    # 5b. fused matcher + ignore (one shared intersection matrix) — compare
+    # against rows 3 + 5, which build two
+    def f_fused(gb, gv, _i):
+        from threedod.ops.matcher import match_and_ignore
+
+        def per(g, v):
+            m, in_ign = match_and_ignore(
+                g + _i * 0.0, v, ~v & (g[:, 0] >= 0), rpn.anchors_cat,
+                bg_thresh=r.iou_thresholds[0], fg_thresh=r.iou_thresholds[1],
+                ignore_thresh=r.ignore_threshold, allow_low_quality=True,
+            )
+            return (
+                m.matched_ious.sum()
+                + m.matched_idxs.sum().astype(jnp.float32) * 1e-20
+                + in_ign.sum().astype(jnp.float32) * 1e-20
+            )
+
+        return jax.vmap(per)(gb, gv).sum()
+
+    res["match_and_ignore_x8"] = t_scalar(f_fused, gtb, gtv)
+
     # 6. whole predict_proposals (train mode)
     def f_pp(lg, rg, _i):
         lg2 = {k: v + _i * 0.0 for k, v in lg.items()}

@@ -411,6 +411,61 @@ def test_load_trunk_weights_grafts_into_backbone(tmp_path):
 # block-space (space-to-depth) stem: exact equivalence to the native layout
 # ---------------------------------------------------------------------------
 
+@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+def test_resnet_fast_stem_equivalence(name):
+    """The b=4 block-space ResNet stem (7x7 s2 block conv + block-layout
+    3x3 s2 maxpool) must compute exactly what the native ConvBN + max_pool
+    path computes, in eval and train modes, with an identical param tree."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from threedod.models.backbones.resnet import build_resnet
+
+    fast = dataclasses.replace(build_resnet(name), fast_stem=True, parent=None, name=None)
+    slow = dataclasses.replace(build_resnet(name), fast_stem=False, parent=None, name=None)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 64, 96, 3), jnp.float32)
+    variables = jax.jit(lambda x: fast.init({"params": jax.random.PRNGKey(0)}, x, train=False))(x)
+    sv = jax.jit(lambda x: slow.init({"params": jax.random.PRNGKey(0)}, x, train=False))(x)
+    assert jax.tree.structure(sv) == jax.tree.structure(variables)
+
+    of = fast.apply(variables, x, train=False)
+    os_ = slow.apply(variables, x, train=False)
+    for k in of:
+        np.testing.assert_allclose(np.asarray(of[k]), np.asarray(os_[k]), atol=2e-4, rtol=1e-4)
+
+    tf, mf = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+    ts, ms = slow.apply(variables, x, train=True, mutable=["batch_stats"])
+    for k in tf:
+        np.testing.assert_allclose(np.asarray(tf[k]), np.asarray(ts[k]), atol=2e-3, rtol=1e-2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=5e-3),
+        mf, ms,
+    )
+
+
+def test_densenet_fast_stem_equivalence():
+    """DenseNet's block-space stem must match its native path exactly."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from threedod.models.backbones.densenet import build_densenet
+
+    fast = dataclasses.replace(build_densenet("densenet121"), fast_stem=True, parent=None, name=None)
+    slow = dataclasses.replace(build_densenet("densenet121"), fast_stem=False, parent=None, name=None)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 64, 96, 3), jnp.float32)
+    variables = jax.jit(lambda x: fast.init({"params": jax.random.PRNGKey(0)}, x, train=False))(x)
+    sv = jax.jit(lambda x: slow.init({"params": jax.random.PRNGKey(0)}, x, train=False))(x)
+    assert jax.tree.structure(sv) == jax.tree.structure(variables)
+    of = fast.apply(variables, x, train=False)
+    os_ = slow.apply(variables, x, train=False)
+    for k in of:
+        np.testing.assert_allclose(np.asarray(of[k]), np.asarray(os_[k]), atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("name", ["dla34", "dla46_c"])
 def test_dla_fast_stem_equivalence(name):
     """The b=4 block-space stem (and DLA34's block-layout level2) must

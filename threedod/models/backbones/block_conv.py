@@ -103,6 +103,32 @@ def block_conv(
     )
 
 
+def block_maxpool_3x3_s2(yb: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 max pool applied to a b=2 block-layout tensor
+    (B, Y, X, 2*2*C), emitting the native (B, Y, X, C) stride-doubled map
+    (the torchvision ResNet/DenseNet stem pool).
+
+    Output pixel (i, j) maxes native rows {2i-1, 2i, 2i+1}: within-block
+    offsets (oy=0, oy=1) of block i plus oy=1 of block i-1 (likewise for
+    columns), so the overlapping window never materialises the
+    full-resolution tensor in native layout. Out-of-image taps are -inf,
+    matching flax.nn.max_pool's padding identity."""
+    b_sz, yh, xw, c4 = yb.shape
+    c = c4 // 4
+    u = yb.reshape(b_sz, yh, xw, 2, 2, c)
+    neg = jnp.asarray(-jnp.inf, yb.dtype)
+    up = jnp.pad(
+        u[:, :-1, :, 1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)),
+        constant_values=neg,
+    )  # block i-1, oy=1
+    rows = jnp.maximum(jnp.maximum(u[:, :, :, 0], u[:, :, :, 1]), up)  # (B,Y,X,ox,C)
+    left = jnp.pad(
+        rows[:, :, :-1, 1], ((0, 0), (0, 0), (1, 0), (0, 0)),
+        constant_values=neg,
+    )  # block j-1, ox=1
+    return jnp.maximum(jnp.maximum(rows[:, :, :, 0], rows[:, :, :, 1]), left)
+
+
 def tile_block_channels(v: jnp.ndarray, b_out: int) -> jnp.ndarray:
     """Tile a per-original-channel vector (co,) across block positions to
     (b_out²·co,), matching the (oy, ox, co) channel order."""

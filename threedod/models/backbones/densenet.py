@@ -12,7 +12,9 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBN, max_pool
+from .block_conv import block_maxpool_3x3_s2, space_to_depth
+from .dla import block_convbn
+from .layers import ConvBN, ConvBNParams, max_pool
 
 
 class DenseLayer(nn.Module):
@@ -36,11 +38,23 @@ class DenseNet(nn.Module):
     growth: int = 32
     init_features: int = 64
     dtype: Any = jnp.float32
+    # 7x7 s2 stem as a b=4 space-to-depth block conv + block-layout maxpool
+    # (exact; same scheme as ResNet/DLA — see block_conv.py). Default OFF:
+    # the identical ResNet stem measured neutral on v5e (resnet.py note).
+    fast_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(self.init_features, 7, 2, dtype=self.dtype, name="stem")(x, train)
-        x = max_pool(x, 3, 2, padding=1)
+        if self.fast_stem and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            y = space_to_depth(x.astype(self.dtype), 4)
+            y = block_convbn(
+                ConvBNParams(self.init_features, 7, 3, name="stem"), y, 3, 2, 4, 2,
+                train, self.dtype,
+            )
+            x = block_maxpool_3x3_s2(y)
+        else:
+            x = ConvBN(self.init_features, 7, 2, dtype=self.dtype, name="stem")(x, train)
+            x = max_pool(x, 3, 2, padding=1)
         outs = {}
         features = self.init_features
         for bi, n_layers in enumerate(self.block_counts):

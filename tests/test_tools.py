@@ -303,3 +303,36 @@ class TestVisualiseGTCLI:
         ):
             p = out / fname
             assert p.exists() and p.stat().st_size > 1000, fname
+
+
+class TestDepthToPointcloud:
+    def test_writes_parseable_ply(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        img_dir = tmp_path / "imgs"
+        os.makedirs(img_dir)
+        rng = np.random.RandomState(0)
+        Image.fromarray(rng.randint(0, 255, (28, 42, 3), np.uint8)).save(img_dir / "a.png")
+        out = tmp_path / "pc"
+        r = run_tool(
+            [os.path.join(REPO, "tools/depth_to_pointcloud.py"),
+             "--img-path", str(img_dir), "--outdir", str(out),
+             "--encoder", "vits", "--random-weights", "--input-size", "56",
+             "--focal-length-x", "40", "--focal-length-y", "40"],
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        ply = out / "a.ply"
+        assert ply.exists()
+        with open(ply, "rb") as f:
+            blob = f.read()
+        header, _, body = blob.partition(b"end_header\n")
+        assert b"element vertex 1176" in header  # 28*42 pixels
+        rec = np.frombuffer(body, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+        assert rec.shape == (1176,)
+        assert np.isfinite(rec["xyz"]).all()
+        # depth (z) strictly positive, colors match the input image
+        assert (rec["xyz"][:, 2] > 0).all()
+        src = np.asarray(Image.open(img_dir / "a.png")).reshape(-1, 3)
+        np.testing.assert_array_equal(rec["rgb"], src)

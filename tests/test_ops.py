@@ -497,6 +497,30 @@ class TestPallasRoiAlignInterpret:
                 np.asarray(ga[k]), np.asarray(gb[k]), atol=1e-5, err_msg=k
             )
 
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_expanded_taps_build_matches_4matmul_interpret(self, interp, dtype):
+        """TAPS_EXPANDED folds the spread-to-rows stage of the weight build
+        into pre-broadcast tap inputs (2 selector matmuls instead of 4).
+        Selector matmuls move single elements, so both builds must be
+        bit-identical in every dtype."""
+        from threedod.ops import roi_align_pallas as rap
+
+        feats, boxes = self._feats_boxes(n=16)
+        feats = {k: v.astype(dtype) for k, v in feats.items()}
+        saved = rap.TAPS_EXPANDED
+        try:
+            rap.TAPS_EXPANDED = False
+            base = np.asarray(
+                rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32)
+            )
+            rap.TAPS_EXPANDED = True
+            expanded = np.asarray(
+                rap.multilevel_roi_align_tpu(feats, boxes).astype(jnp.float32)
+            )
+        finally:
+            rap.TAPS_EXPANDED = saved
+        np.testing.assert_array_equal(base, expanded)
+
     @pytest.mark.parametrize("group", [2, 4])
     def test_group_pooling_matches_per_roi_interpret(self, interp, group):
         """POOL_GROUP fuses g ROIs into one block-diagonal matmul; the

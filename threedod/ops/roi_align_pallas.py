@@ -52,6 +52,18 @@ FORCE_INTERPRET = False
 # enabled configuration on hardware every round.
 POOL_GROUP = 2
 
+# Expanded-taps weight build (see _kernel/build_m): when True, the per-axis
+# tap weights arrive pre-broadcast to (R, S², WINDOW) rows (an XLA
+# broadcast outside the kernel — free fusion there; Mosaic can't lower the
+# broadcast-reshape in-kernel), so M = ay ⊗ ax takes 2 selector matmuls per
+# grid step instead of 4 (the t_y/t_x spread stage folds into the row
+# dimension). Bit-identical (selector matmuls move single elements; the
+# final VPU product is unchanged). The kernel is MXU-op-latency bound, so
+# -2 ops/step is the point; +10 KB/ROI of tap-input DMA is ~1% of the
+# window bytes. OFF until the two-stage hardware gate passes (interpret
+# parity is pinned for both settings by the CPU suite).
+TAPS_EXPANDED = False
+
 # Pipelined RMW backward (see _bwd_kernel): when True, the next ROI's
 # window read is issued before the in-flight write drains whenever the two
 # windows are provably disjoint (precomputed conf flags). Measured on v5e
@@ -108,7 +120,8 @@ def _rois_per_step(itemsize: int) -> int:
     return 8 if itemsize <= 2 else 2
 
 
-def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem):
+def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
+            taps_expanded: bool = False):
     """One grid step: pool ROIS_PER_STEP ROIs.
 
     y0/x0/cls: (N,) int32 in SMEM (scalar prefetch; y0 is global into the
@@ -212,8 +225,10 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
 
     def build_m(taps_y, taps_x, wy, wx):
         """All R ROIs' outer-product weight matrices (R*S², wy*wx) in 4
-        matmuls total. (Mosaic requires 32-bit matmul accumulators; the
-        f32->dt casts are exact because selector matmuls move single
+        matmuls total — or 2 with taps_expanded, where taps arrive
+        pre-broadcast to (R, S², WINDOW) rows so the spread-to-rows stage
+        is already folded in. (Mosaic requires 32-bit matmul accumulators;
+        the f32->dt casts are exact because selector matmuls move single
         elements.)"""
         hw = wy * wx
         hh = jax.lax.broadcasted_iota(jnp.int32, (wy, hw), 0)
@@ -222,6 +237,16 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem)
         ww = jax.lax.broadcasted_iota(jnp.int32, (wx, hw), 0)
         cw = jax.lax.broadcasted_iota(jnp.int32, (wx, hw), 1)
         col_x = (cw % wx == ww).astype(dt)   # col (h,w) <- ax col w
+        if taps_expanded:
+            # taps are (R, S², WINDOW): one matmul spreads each axis's taps
+            # straight to the (R*S², h*w) weight rows
+            return jnp.dot(
+                taps_y.reshape(r * ss, wy), col_y,
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dt) * jnp.dot(
+                taps_x.reshape(r * ss, wx), col_x,
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dt)
         # spread taps to the flattened (h, w) axis for all R ROIs at once
         t_y = jnp.dot(
             taps_y.reshape(r * S_PAD, wy), col_y,
@@ -433,17 +458,29 @@ def _pallas_forward(
         h, w = features[nm].shape[:2]
         buf = buf.at[int(off) : int(off) + h, :w].set(features[nm])
 
+    ss = S_PAD * S_PAD
+    if TAPS_EXPANDED:
+        # pre-broadcast each axis's taps to the (S², WINDOW) row layout the
+        # 2-matmul build consumes: row (sy, sx) carries ay[sy] / ax[sx]
+        ay = jnp.broadcast_to(
+            ay[:, :, None, :], (n_pad, S_PAD, S_PAD, WINDOW_Y)
+        ).reshape(n_pad, ss, WINDOW_Y)
+        ax = jnp.broadcast_to(
+            ax[:, None, :, :], (n_pad, S_PAD, S_PAD, WINDOW_X)
+        ).reshape(n_pad, ss, WINDOW_X)
+    tap_rows = ss if TAPS_EXPANDED else S_PAD
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_pad // rois_per_step,),
         in_specs=[
             pl.BlockSpec(
-                (rois_per_step, S_PAD, WINDOW_Y),
+                (rois_per_step, tap_rows, WINDOW_Y),
                 lambda i, *_: (i, 0, 0),  # index maps also get the scalar refs
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (rois_per_step, S_PAD, WINDOW_X),
+                (rois_per_step, tap_rows, WINDOW_X),
                 lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -465,7 +502,7 @@ def _pallas_forward(
 
     itemsize = jnp.dtype(dtype).itemsize
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, taps_expanded=TAPS_EXPANDED),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, S_PAD * S_PAD, c), dtype),
         cost_estimate=pl.CostEstimate(

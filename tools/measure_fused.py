@@ -92,6 +92,33 @@ def bench_pool_groups():
                  error=f"{type(e).__name__}: {str(e)[:300]}")
     rap.POOL_GROUP = 1
 
+    # expanded-taps weight build (TAPS_EXPANDED): 2 selector matmuls/step
+    # instead of 4, taps pre-broadcast in XLA. Same workload; parity must
+    # be exact vs the 4-matmul build at the same POOL_GROUP.
+    saved_te, saved_g = rap.TAPS_EXPANDED, rap.POOL_GROUP
+    try:
+        for g in (1, 2):
+            rap.POOL_GROUP = g
+            rap.TAPS_EXPANDED = False
+            fn = jax.jit(lambda f, b: rap.multilevel_roi_align_tpu(f, b))
+            ref4 = np.asarray(fn(feats, boxes).astype(jnp.float32))
+            t4 = timed(fn, feats, boxes)
+            rap.TAPS_EXPANDED = True
+            try:
+                fn2 = jax.jit(lambda f, b: rap.multilevel_roi_align_tpu(f, b))
+                out2 = np.asarray(fn2(feats, boxes).astype(jnp.float32))
+                err = float(np.abs(out2 - ref4).max())
+                t2 = timed(fn2, feats, boxes)
+                emit(experiment="taps_expanded", group=g,
+                     us_per_1k_rois_4matmul=round(t4 * 1e6, 1),
+                     us_per_1k_rois_expanded=round(t2 * 1e6, 1),
+                     parity_max_abs_err=err)
+            except Exception as e:
+                emit(experiment="taps_expanded", group=g,
+                     error=f"{type(e).__name__}: {str(e)[:300]}")
+    finally:
+        rap.TAPS_EXPANDED, rap.POOL_GROUP = saved_te, saved_g
+
 
 def kernel_cases():
     """Representative DLA34/FPN/RPN shapes at bs8 512x672 bf16."""

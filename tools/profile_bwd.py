@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--weak", action="store_true")
     ap.add_argument("--short", type=int, default=3)
     ap.add_argument("--long", type=int, default=13)
+    ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
 
     from threedod.models import build_model
@@ -69,20 +70,6 @@ def main():
         losses, _ = out
         return sum(jax.tree.leaves(losses))
 
-    def timed_scalar_fn(fn):
-        """Time fn(key)->scalar with the chained-forcing scheme."""
-        def run(k):
-            t0 = time.perf_counter()
-            s = jnp.zeros((), jnp.float32)
-            for i in range(k):
-                s = s + fn(jax.random.PRNGKey(i)).astype(jnp.float32)
-            jax.device_get(s)
-            return time.perf_counter() - t0
-
-        return timed(run, short=args.short, long=args.long) * 1e3
-
-    results = {}
-
     # full production step (donates state -> chain it)
     step = trainer.make_train_step()
     holder = {"state": state}
@@ -98,7 +85,7 @@ def main():
         jax.device_get(s)
         return time.perf_counter() - t0
 
-    results["full"] = timed(run_full, short=args.short, long=args.long) * 1e3
+    full_ms = timed(run_full, short=args.short, long=args.long) * 1e3
     params = holder["state"].params  # state was donated; reuse final params
 
     def grad_scalar(key):
@@ -111,19 +98,45 @@ def main():
             jnp.sum(g).astype(jnp.float32) for g in jax.tree.leaves(grads)
         ) * 1e-20
 
-    results["noopt"] = timed_scalar_fn(jax.jit(grad_scalar))
-    results["fwd"] = timed_scalar_fn(jax.jit(lambda k: loss_fn(params, k)))
-
+    # Build every scalar variant FIRST, then time them in interleaved
+    # rounds taking per-variant minima: the relay host's load drifts over
+    # minutes, so back-to-back sequential measurement of the variants
+    # (the earlier scheme) can mask 10-20 ms deltas entirely.
+    variants = {"noopt": jax.jit(grad_scalar), "fwd": jax.jit(lambda k: loss_fn(params, k))}
     for stage in ("trunk", "pool", "rpnhead"):
         debug.SG_STAGES = frozenset({stage})
         try:
-            results[f"sg:{stage}"] = timed_scalar_fn(jax.jit(grad_scalar))
+            f = jax.jit(grad_scalar)
+            f(jax.random.PRNGKey(0)).block_until_ready()  # trace+compile NOW
         finally:
             debug.SG_STAGES = frozenset()
+        variants[f"sg:{stage}"] = f
+
+    def run_k(fn, k):
+        t0 = time.perf_counter()
+        s = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            s = s + fn(jax.random.PRNGKey(i)).astype(jnp.float32)
+        jax.device_get(s)
+        return time.perf_counter() - t0
+
+    for fn in variants.values():  # warm every executable once
+        run_k(fn, 2)
+    per_iter = {name: [] for name in variants}
+    for _round in range(args.rounds):
+        for name, fn in variants.items():
+            d_short = run_k(fn, args.short)
+            d_long = run_k(fn, args.long)
+            per_iter[name].append((d_long - d_short) / (args.long - args.short) * 1e3)
+    results = {name: min(v) for name, v in per_iter.items()}
+    results["full"] = full_ms
 
     out = {
         "system": "weak" if args.weak else "supervised",
         "ms": {k: round(v, 1) for k, v in results.items()},
+        "round_spread_ms": {
+            k: [round(x, 1) for x in v] for k, v in per_iter.items()
+        },
         "derived_ms": {
             "optimizer+guards": round(results["full"] - results["noopt"], 1),
             "backward_total": round(results["noopt"] - results["fwd"], 1),

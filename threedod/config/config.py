@@ -26,6 +26,7 @@ class SolverConfig:
     max_iter: int = 32000
     weight_decay: float = 1e-4
     momentum: float = 0.9
+    nesterov: bool = False  # detectron2 SOLVER.NESTEROV default
     gamma: float = 0.1
     warmup_iters: int = 1000
     warmup_factor: float = 1.0 / 1000

@@ -20,6 +20,7 @@ recompile.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Callable, Optional
 
@@ -28,10 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from jax.flatten_util import ravel_pytree
+
 from ..parallel.mesh import make_mesh_for_batch, replicate_local, shard_batch
 from .checkpoint import CheckpointManager
 from .events import EventStorage
-from .solver import build_optimizer, host_lr
+from .solver import build_flat_optimizer, build_optimizer, host_lr
+
+
+def _uniform_float_dtypes(tree) -> bool:
+    """True iff every leaf shares one floating dtype (ravel_pytree would
+    otherwise promote/cast, breaking exactness)."""
+    leaves = jax.tree.leaves(tree)
+    if not leaves:
+        return False
+    dts = {jnp.asarray(l).dtype for l in leaves}
+    return len(dts) == 1 and jnp.issubdtype(next(iter(dts)), jnp.floating)
 
 logger = logging.getLogger(__name__)
 
@@ -53,7 +66,25 @@ class Trainer:
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh_for_batch(cfg.solver.ims_per_batch)
         self.optimizer, self.schedule = None, None
+        self.flat_opt = False
         self._train_step = None
+
+    # ------------------------------------------------------------------
+    def ensure_optimizer(self, params):
+        """Build the optimizer once. Default is the per-leaf optax form:
+        the flat single-vector alternative is mathematically identical but
+        MEASURED SLOWER on v5e (~87 vs ~82.5 ms/step back-to-back; the
+        ravel/unravel copies and lost donation aliasing outweigh the
+        per-leaf fusion overhead — solver.build_flat_optimizer docstring,
+        docs/DESIGN.md 9f). Set THREEDOD_FLAT_OPT=1 to flip the gate on a
+        uniform-float param tree (ravel_pytree would promote mixed dtypes)."""
+        if self.optimizer is None:
+            self.flat_opt = bool(
+                int(os.environ.get("THREEDOD_FLAT_OPT", "0"))
+            ) and _uniform_float_dtypes(params)
+            build = build_flat_optimizer if self.flat_opt else build_optimizer
+            self.optimizer, self.schedule = build(self.cfg, params)
+        return self.optimizer
 
     # ------------------------------------------------------------------
     def init_state(self, key, sample_batch) -> TrainState:
@@ -65,8 +96,11 @@ class Trainer:
         variables = init_fn(key, sample_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        self.optimizer, self.schedule = build_optimizer(self.cfg, params)
-        opt_state = self.optimizer.init(params)
+        self.ensure_optimizer(params)
+        if self.flat_opt:
+            opt_state = jax.jit(lambda p: self.optimizer.init(ravel_pytree(p)[0]))(params)
+        else:
+            opt_state = self.optimizer.init(params)
         state = TrainState(
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
@@ -78,6 +112,7 @@ class Trainer:
     def make_train_step(self) -> Callable:
         model = self.model
         optimizer = self.optimizer
+        flat_opt = self.flat_opt
         freeze_bn = self.cfg.model.freeze_bn or not self.cfg.model.use_bn
 
         def train_step(state: TrainState, batch, key, rolling_loss):
@@ -97,9 +132,13 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
 
-            grads_finite = jnp.all(
-                jnp.asarray([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
-            )
+            if flat_opt:
+                flat_g, _ = ravel_pytree(grads)
+                grads_finite = jnp.isfinite(flat_g).all()
+            else:
+                grads_finite = jnp.all(
+                    jnp.asarray([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
+                )
             loss_ok = jnp.isfinite(total) & (total <= rolling_loss * TOLERANCE)
             diverging = ~(grads_finite & loss_ok)
 
@@ -108,15 +147,31 @@ class Trainer:
             # not calling optimizer.step()). The LR-schedule count lags by
             # the number of skipped iterations, which STABILIZE bounds to a
             # small fraction.
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = jax.tree.map(
-                lambda p, u: jnp.where(diverging, p, p + u), state.params, updates
-            )
+            if flat_opt:
+                # one flat vector: the whole update/guard section is a
+                # handful of vector ops instead of ~6 x n_leaves tiny
+                # fusions (solver.build_flat_optimizer docstring)
+                flat_p, unravel = ravel_pytree(state.params)
+                updates_flat, new_opt = optimizer.update(
+                    flat_g, state.opt_state, flat_p
+                )
+                new_params = unravel(
+                    jnp.where(diverging, flat_p, flat_p + updates_flat)
+                )
+            else:
+                updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+                new_params = jax.tree.map(
+                    lambda p, u: jnp.where(diverging, p, p + u), state.params, updates
+                )
             new_opt = jax.tree.map(
                 lambda old, new: jnp.where(diverging, old, new), state.opt_state, new_opt
             )
             if freeze_bn:
                 new_bs = state.batch_stats
+            elif flat_opt and jax.tree.leaves(new_bs) and _uniform_float_dtypes(new_bs):
+                flat_nb, unravel_bs = ravel_pytree(new_bs)
+                flat_ob, _ = ravel_pytree(state.batch_stats)
+                new_bs = unravel_bs(jnp.where(diverging, flat_ob, flat_nb))
             else:
                 new_bs = jax.tree.map(
                     lambda new, old: jnp.where(diverging, old, new), new_bs, state.batch_stats

@@ -72,6 +72,23 @@ def kernel_parity_gate():
         err = float(np.abs(x - y).max() / (np.abs(y).max() + 1e-9))
         assert err < 1e-4, f"Pallas ROIAlign backward parity broke at {k}: {err}"
 
+    # batched path (the production call shape: one kernel over the
+    # Y-stacked batch plane) must match the per-image results exactly
+    fb = {k: jnp.stack([v, v * 0.5]) for k, v in feats.items()}
+    bb = jnp.stack([boxes, boxes * 0.75])
+    out_b = np.asarray(multilevel_roi_align_tpu(fb, bb))
+    for i in range(2):
+        ref_i = np.asarray(
+            multilevel_roi_align_tpu(
+                {k: fb[k][i] for k in fb}, bb[i]
+            )
+        )
+        berr = float(np.abs(out_b[i] - ref_i).max())
+        assert berr < 1e-5, f"batched pool parity broke at image {i}: {berr}"
+    gb = jax.grad(lambda f: jnp.sum(multilevel_roi_align_tpu(f, bb) ** 2))(fb)
+    for k in fb:
+        assert np.isfinite(np.asarray(gb[k])).all(), f"batched pool grad not finite: {k}"
+
     from threedod.ops import fused_conv
 
     if not fused_conv.fused_conv_available():

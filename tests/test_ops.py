@@ -521,6 +521,51 @@ class TestPallasRoiAlignInterpret:
             rap.TAPS_EXPANDED = saved
         np.testing.assert_array_equal(base, expanded)
 
+    def test_batched_matches_per_image_interpret(self, interp):
+        """Batched pooling (B images Y-stacked into one plane, one
+        pallas_call) must match per-image calls exactly — forward and the
+        RMW backward (images are disjoint in the stacked plane, so the
+        accumulation order change across images cannot alter any value)."""
+        from threedod.ops.roi_align_pallas import multilevel_roi_align_tpu
+
+        f0, b0 = self._feats_boxes(n=8, seed=7)
+        f1, b1 = self._feats_boxes(n=8, seed=13)
+        fb = {k: jnp.stack([f0[k], f1[k]]) for k in f0}
+        bb = jnp.stack([b0, b1])
+
+        out_b = multilevel_roi_align_tpu(fb, bb)
+        assert out_b.shape == (2, 8, 7, 7, 128)
+        for i, (f, b) in enumerate([(f0, b0), (f1, b1)]):
+            np.testing.assert_allclose(
+                np.asarray(out_b[i]),
+                np.asarray(multilevel_roi_align_tpu(f, b)),
+                atol=1e-6,
+            )
+
+        cot = jnp.asarray(
+            np.random.RandomState(0).randn(2, 8, 7, 7, 128).astype(np.float32)
+        )
+        gb = jax.grad(lambda f: jnp.sum(multilevel_roi_align_tpu(f, bb) * cot))(fb)
+        for i, (f, b) in enumerate([(f0, b0), (f1, b1)]):
+            gi = jax.grad(
+                lambda f_: jnp.sum(multilevel_roi_align_tpu(f_, b) * cot[i])
+            )(f)
+            for k in f:
+                np.testing.assert_allclose(
+                    np.asarray(gb[k][i]), np.asarray(gi[k]), atol=1e-6,
+                    err_msg=f"img{i} {k}",
+                )
+
+    def test_batched_fallback_c_not_128(self):
+        """Batched entry with C % 128 != 0 vmaps the XLA windowed path."""
+        from threedod.ops.roi_align_pallas import multilevel_roi_align_tpu
+
+        f0, b0 = self._feats_boxes(n=4, c=32, seed=3)
+        fb = {k: jnp.stack([v, v]) for k, v in f0.items()}
+        out = multilevel_roi_align_tpu(fb, jnp.stack([b0, b0]))
+        assert out.shape == (2, 4, 7, 7, 32)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
+
     @pytest.mark.parametrize("group", [2, 4])
     def test_group_pooling_matches_per_roi_interpret(self, interp, group):
         """POOL_GROUP fuses g ROIs into one block-diagonal matmul; the

@@ -179,17 +179,6 @@ class ROIHeads3D(nn.Module):
     # pooled features
     # ------------------------------------------------------------------
     def _pool(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray, resolution: int):
-        if pallas_roi_align_available():
-            from ..ops.roi_align_pallas import multilevel_roi_align_tpu as pool_fn
-        else:
-            # share the Pallas kernel's WINDOW_Y fit budget so CPU tests
-            # exercise the exact level-bump rule the TPU path uses
-            from ..ops.roi_align_pallas import WINDOW_Y
-
-            pool_fn = functools.partial(
-                multilevel_roi_align_windowed, window=WINDOW_Y
-            )
-
         # pool in the model compute dtype (features are bf16-born when
         # model.dtype is bf16 — the f32 cast adds no information, but doubles
         # the pooling HBM traffic, which is the hot path's bound); heads
@@ -198,16 +187,33 @@ class ROIHeads3D(nn.Module):
             jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
         )
         features = {k: v.astype(pool_dtype) for k, v in features.items()}
-
-        def one(img_feats, img_boxes):
-            return pool_fn(
-                img_feats, img_boxes, output_size=resolution,
-                sampling_ratio=max(self.cfg.model.roi_box_head.pooler_sampling_ratio, 2),
-            )
+        sampling = max(self.cfg.model.roi_box_head.pooler_sampling_ratio, 2)
 
         from ..utils import debug
 
-        return debug.sg("pool", jax.vmap(one)(features, boxes).astype(jnp.float32))
+        if pallas_roi_align_available():
+            # batched call — ONE pallas_call over the Y-stacked batch plane.
+            # vmap here would lower the scalar-prefetch pallas_call to a
+            # while loop over images (28 ms/step of the supervised train
+            # step went to its per-image dynamic-slices + layout copies).
+            from ..ops.roi_align_pallas import multilevel_roi_align_tpu
+
+            pooled = multilevel_roi_align_tpu(
+                features, boxes, output_size=resolution, sampling_ratio=sampling
+            )
+            return debug.sg("pool", pooled.astype(jnp.float32))
+
+        # share the Pallas kernel's WINDOW_Y fit budget so CPU tests
+        # exercise the exact level-bump rule the TPU path uses
+        from ..ops.roi_align_pallas import WINDOW_Y
+
+        pool_fn = functools.partial(
+            multilevel_roi_align_windowed, window=WINDOW_Y,
+            output_size=resolution, sampling_ratio=sampling,
+        )
+        return debug.sg(
+            "pool", jax.vmap(pool_fn)(features, boxes).astype(jnp.float32)
+        )
 
     # ------------------------------------------------------------------
     # 2D box branch

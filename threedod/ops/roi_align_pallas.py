@@ -120,12 +120,17 @@ def _rois_per_step(itemsize: int) -> int:
     return 8 if itemsize <= 2 else 2
 
 
-def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
+def _kernel(scal_ref, nxt_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
             taps_expanded: bool = False):
     """One grid step: pool ROIS_PER_STEP ROIs.
 
-    y0/x0/cls: (N,) int32 in SMEM (scalar prefetch; y0 is global into the
-    y-stacked level plane); ay/ax: (R, S_PAD, WINDOW) blocks in VMEM;
+    scal/nxt: (1, 3, R) int32 SMEM blocks — rows (y0, x0, cls) for THIS
+    grid step's ROIs and for the NEXT step's (clipped to the last step);
+    blocked SMEM instead of whole-array scalar prefetch so on-chip use is
+    O(R), independent of total ROI count (a batched 8000-ROI call's
+    prefetch arrays blew the 16 MB scoped-VMEM budget by exactly their
+    growth). y0 is global into the y-stacked level plane (batch plane
+    offset folded in); ay/ax: (R, S_PAD, WINDOW) blocks in VMEM;
     buf_ref: full (H_stack, W, C) in HBM; out block
     (R, S_PAD, S_PAD, C); win scratch (2, R, WINDOW, WINDOW, C) + DMA sems,
     double-buffered across grid steps: step i's compute overlaps step i+1's
@@ -144,51 +149,49 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
     num = pl.num_programs(0)
     phase = jax.lax.rem(i, 2)
 
-    def dma_big(step, j, ph):
-        roi = step * r + j
+    def dma_big(sref, j, ph):
         return pltpu.make_async_copy(
             buf_ref.at[
-                pl.ds(y0_ref[roi], WINDOW_Y),
-                pl.ds(pl.multiple_of(x0_ref[roi], 16), WINDOW_X),
+                pl.ds(sref[0, 0, j], WINDOW_Y),
+                pl.ds(pl.multiple_of(sref[0, 1, j], 16), WINDOW_X),
                 :,
             ],
             win.at[ph, j],
             sem.at[ph, j],
         )
 
-    def dma_small(step, j, ph):
-        roi = step * r + j
+    def dma_small(sref, j, ph):
         return pltpu.make_async_copy(
             buf_ref.at[
-                pl.ds(y0_ref[roi], SMALL_Y),
-                pl.ds(pl.multiple_of(x0_ref[roi], 16), SMALL_X),
+                pl.ds(sref[0, 0, j], SMALL_Y),
+                pl.ds(pl.multiple_of(sref[0, 1, j], 16), SMALL_X),
                 :,
             ],
             win.at[ph, j, pl.ds(0, SMALL_Y), pl.ds(0, SMALL_X), :],
             sem.at[ph, j],
         )
 
-    def start(step, j, ph):
-        small = cls_ref[step * r + j] == 1
+    def start(sref, j, ph):
+        small = sref[0, 2, j] == 1
 
         @pl.when(small)
         def _():
-            dma_small(step, j, ph).start()
+            dma_small(sref, j, ph).start()
 
         @pl.when(jnp.logical_not(small))
         def _():
-            dma_big(step, j, ph).start()
+            dma_big(sref, j, ph).start()
 
-    def wait(step, j, ph):
-        small = cls_ref[step * r + j] == 1
+    def wait(sref, j, ph):
+        small = sref[0, 2, j] == 1
 
         @pl.when(small)
         def _():
-            dma_small(step, j, ph).wait()
+            dma_small(sref, j, ph).wait()
 
         @pl.when(jnp.logical_not(small))
         def _():
-            dma_big(step, j, ph).wait()
+            dma_big(sref, j, ph).wait()
 
     @pl.when(i == 0)
     def _():
@@ -196,12 +199,12 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
         # (NaN/Inf bits) to the zero-weight taps of the pooling matmul
         win[...] = jnp.zeros_like(win)
         for j in range(r):
-            start(i, j, phase)
+            start(scal_ref, j, phase)
 
     @pl.when(i + 1 < num)
     def _():
         for j in range(r):
-            start(i + 1, j, 1 - phase)
+            start(nxt_ref, j, 1 - phase)
 
     # f32 windows would otherwise go through the MXU's default bf16-truncated
     # passes (~1e-2 abs error); bf16 windows are already exact in native mode
@@ -286,7 +289,7 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
         group_mask = ((rows // ss) == (cols // hw)).astype(dt)
         for q in range(r // g):
             for j in range(g):
-                wait(i, g * q + j, phase)
+                wait(scal_ref, g * q + j, phase)
             mq = m_all[g * q * ss : (g * q + g) * ss]
             o = jnp.dot(
                 jnp.concatenate([mq] * g, axis=1) * group_mask,
@@ -298,7 +301,7 @@ def _kernel(y0_ref, x0_ref, cls_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
                 out_ref[g * q + j] = o[j * ss : (j + 1) * ss].astype(out_ref.dtype)
     else:
         for j in range(r):
-            wait(i, j, phase)
+            wait(scal_ref, j, phase)
             o = jnp.dot(
                 m_all[j * ss : (j + 1) * ss],
                 win[phase, j].reshape(WINDOW_Y * WINDOW_X, c),
@@ -337,11 +340,29 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
     needs 8 — its narrower windows (40/24) move 17-25% fewer RMW bytes for
     identical results (the extra columns carry exactly-zero tap weights
     either way). The y window and the level-bump rule are shared, so both
-    passes always agree on level assignment and sampling positions."""
+    passes always agree on level assignment and sampling positions.
+
+    Batched form: features (B, H_l, W_l, C) + boxes (B, N, 4). The B images
+    stack along Y in the SAME plane (image b's rows start at b*h_stack), so
+    the unmodified single-plane kernels pool/accumulate the whole batch in
+    ONE pallas_call — y origins just gain an img*h_stack offset. This
+    replaces vmap-over-images, which lowers a scalar-prefetch pallas_call
+    to a lax.map-style while loop (per-image dynamic-slice/update-slice of
+    the full stacked buffer + layout copies: measured 28 of the 80 ms
+    supervised train step, trace 2026-08-20). Cross-image window spill is
+    impossible: each image's plane ends with a WINDOW_Y tail, y origins are
+    clipped inside the assigned level, and taps beyond a level's rows carry
+    exactly-zero weight; the backward RMW therefore never writes a nonzero
+    value into another image's rows either."""
+    batched = boxes.ndim == 3
+    if not batched:
+        features = {k: v[None] for k, v in features.items()}
+        boxes = boxes[None]
     names = sorted(features.keys())
     level_ids = [int(n[1:]) for n in names]
     lmin, lmax = min(level_ids), max(level_ids)
     c = features[names[0]].shape[-1]
+    bsz = boxes.shape[0]
     # levels stack along Y in ONE (H_stack, w0, C) plane (sum of level
     # heights + a WINDOW_Y tail so any window fits) instead of a
     # (L, max_h, w0, C) cube: the buffer is rebuilt from the FPN outputs
@@ -351,12 +372,12 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
     # are harmless and the backward's RMW adds zeros. Width padded so the
     # clip bound (w0 - WINDOW_X) is 16-aligned — otherwise right-edge ROIs
     # get a rounded-down origin whose window misses their last taps.
-    w0 = max(features[names[0]].shape[1], win_x)
+    w0 = max(features[names[0]].shape[2], win_x)
     w0 = win_x + -(-(w0 - win_x) // align) * align
     dtype = features[names[0]].dtype
 
-    hs = [features[nm].shape[0] for nm in names]
-    ws = [features[nm].shape[1] for nm in names]
+    hs = [features[nm].shape[1] for nm in names]
+    ws = [features[nm].shape[2] for nm in names]
     offs = np.concatenate([[0], np.cumsum(hs)[:-1]]).astype(np.int32)
     h_stack = int(sum(hs)) + WINDOW_Y
     hs_a = jnp.asarray(hs)
@@ -364,7 +385,9 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
     offs_a = jnp.asarray(offs)
     strides_arr = jnp.asarray([float(strides[nm]) for nm in names])
 
-    n = boxes.shape[0]
+    n_img = boxes.shape[1]
+    boxes = boxes.reshape(-1, 4)
+    n = boxes.shape[0]  # total ROIs across the batch
     assign = assign_fpn_levels(boxes, lmin, lmax) - lmin
     ext = jnp.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1])
     ext_cells = ext / float(strides[names[0]])
@@ -410,8 +433,10 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
     ay = _axis_weights(sy, y0w, lvl_h, n, s, r, WINDOW_Y).astype(dtype)
     ax = _axis_weights(sx, x0w, lvl_w, n, s, r, win_x).astype(dtype)
 
-    # fold the level offset in: kernels index the stacked plane directly
-    y0g = offs_a[assign] + y0w
+    # fold the level offset in: kernels index the stacked plane directly —
+    # plus the image's plane offset in the Y-stacked batch
+    img_id = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n_img)
+    y0g = img_id * h_stack + offs_a[assign] + y0w
 
     # pad N to the grid multiple (padded ROIs carry zero weights -> no-ops;
     # class "small" so they DMA the cheap window)
@@ -426,7 +451,7 @@ def _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
     return dict(
         names=names, c=c, h_stack=h_stack, w0=w0, offs=offs, hs=hs,
         n=n, n_pad=n_pad, y0w=y0g, x0w=x0w, ay=ay, ax=ax,
-        small=small,
+        small=small, b=bsz, n_img=n_img, batched=batched,
     )
 
 
@@ -437,10 +462,12 @@ def _pallas_forward(
     strides: dict | None = None,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """Forward-only multilevel ROIAlign via the Pallas kernel. (N, S, S, C).
+    """Forward-only multilevel ROIAlign via the Pallas kernel.
 
-    features: dict of per-level (H_l, W_l, C) maps (single image — vmap over
-    the batch composes a batched grid).
+    features: dict of per-level (H_l, W_l, C) maps for one image, or
+    (B, H_l, W_l, C) with boxes (B, N, 4) — the batch rides the Y-stacked
+    plane in ONE pallas_call (see _prep). Returns (N, S, S, C) or
+    (B, N, S, S, C).
     """
     if strides is None:
         strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
@@ -452,11 +479,14 @@ def _pallas_forward(
     y0w, x0w, ay, ax = p["y0w"], p["x0w"], p["ay"], p["ax"]
     small = p["small"]
     s = output_size
+    b = p["b"]
 
-    buf = jnp.zeros((h_stack, w0, c), dtype)
+    buf = jnp.zeros((b, h_stack, w0, c), dtype)
     for off, nm in zip(p["offs"], names):
-        h, w = features[nm].shape[:2]
-        buf = buf.at[int(off) : int(off) + h, :w].set(features[nm])
+        fl = features[nm] if p["batched"] else features[nm][None]
+        h, w = fl.shape[1:3]
+        buf = buf.at[:, int(off) : int(off) + h, :w].set(fl)
+    buf = buf.reshape(b * h_stack, w0, c)
 
     ss = S_PAD * S_PAD
     if TAPS_EXPANDED:
@@ -470,18 +500,37 @@ def _pallas_forward(
         ).reshape(n_pad, ss, WINDOW_X)
     tap_rows = ss if TAPS_EXPANDED else S_PAD
 
+    # per-step scalar rows (y0, x0, cls) as blocked SMEM — on-chip scalar
+    # footprint is O(rois_per_step), independent of total ROI count
+    steps = n_pad // rois_per_step
+    scal = (
+        jnp.stack([y0w, x0w, small], 0)
+        .reshape(3, steps, rois_per_step)
+        .transpose(1, 0, 2)
+    )
+    scal_spec = pl.BlockSpec(
+        (1, 3, rois_per_step), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    nxt_spec = pl.BlockSpec(
+        (1, 3, rois_per_step),
+        lambda i: (jnp.minimum(i + 1, steps - 1), 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_pad // rois_per_step,),
+        num_scalar_prefetch=0,
+        grid=(steps,),
         in_specs=[
+            scal_spec,
+            nxt_spec,
             pl.BlockSpec(
                 (rois_per_step, tap_rows, WINDOW_Y),
-                lambda i, *_: (i, 0, 0),  # index maps also get the scalar refs
+                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (rois_per_step, tap_rows, WINDOW_X),
-                lambda i, *_: (i, 0, 0),
+                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # buf stays in HBM
@@ -491,7 +540,7 @@ def _pallas_forward(
             # free row-major reshape outside the kernel (an in-kernel (64, C)
             # -> (8, 8, C) split is not bf16-tile aligned and would relayout)
             (rois_per_step, S_PAD * S_PAD, c),
-            lambda i, *_: (i, 0, 0),
+            lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -511,13 +560,18 @@ def _pallas_forward(
             transcendentals=0,
         ),
         interpret=FORCE_INTERPRET,
-    )(y0w, x0w, small, ay, ax, buf)
-    return out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
+    )(scal, scal, ay, ax, buf)
+    out = out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
+    return out.reshape(b, p["n_img"], s, s, c) if p["batched"] else out
 
 
-def _bwd_kernel(y0_ref, x0_ref, cls_ref, conf_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
+def _bwd_kernel(scal_ref, nxt_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
     del dbuf_in  # aliased to dbuf_ref (the output) — all access goes there
     """Backward: accumulate dwin = Mᵀ·g into the stacked f32 grad buffer.
+
+    scal/nxt: (1, 4, R) int32 SMEM blocks — rows (y0, x0, cls, conf) for
+    this grid step's ROIs / the next step's (clipped; see _kernel for why
+    blocked SMEM replaces whole-array scalar prefetch).
 
     Windows of different ROIs overlap, so the accumulation is a
     read-modify-write per ROI with at most ONE write in flight, pipelined
@@ -541,7 +595,6 @@ def _bwd_kernel(y0_ref, x0_ref, cls_ref, conf_ref, ay_ref, ax_ref, g_ref, dbuf_i
     c = g_ref.shape[-1]
     i = pl.program_id(0)
     num = pl.num_programs(0)
-    base = i * r
     dt = ay_ref.dtype
     prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
@@ -571,74 +624,73 @@ def _bwd_kernel(y0_ref, x0_ref, cls_ref, conf_ref, ay_ref, ax_ref, g_ref, dbuf_i
         ).astype(dt)  # (hw, S_PAD)
         return jnp.dot(t, colsT, preferred_element_type=jnp.float32, precision=prec).astype(dt)
 
-    def dst_small(roi):
+    def dst_small(sref, j):
         return dbuf_ref.at[
-            pl.ds(y0_ref[roi], SMALL_Y),
-            pl.ds(pl.multiple_of(x0_ref[roi], BWD_ALIGN), BWD_SMALL_X),
+            pl.ds(sref[0, 0, j], SMALL_Y),
+            pl.ds(pl.multiple_of(sref[0, 1, j], BWD_ALIGN), BWD_SMALL_X),
             :,
         ]
 
-    def dst_big(roi):
+    def dst_big(sref, j):
         return dbuf_ref.at[
-            pl.ds(y0_ref[roi], WINDOW_Y),
-            pl.ds(pl.multiple_of(x0_ref[roi], BWD_ALIGN), BWD_X),
+            pl.ds(sref[0, 0, j], WINDOW_Y),
+            pl.ds(pl.multiple_of(sref[0, 1, j], BWD_ALIGN), BWD_X),
             :,
         ]
 
-    def slot_small(j):
-        return win.at[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :]
+    def slot_small(slot):
+        return win.at[slot, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :]
 
-    def rd(roi, j, act):
-        small = cls_ref[roi] == 1
+    def rd(sref, j, slot, act):
+        small = sref[0, 2, j] == 1
 
         @pl.when(small)
         def _():
-            cp = pltpu.make_async_copy(dst_small(roi), slot_small(j), rsem.at[j])
+            cp = pltpu.make_async_copy(dst_small(sref, j), slot_small(slot), rsem.at[slot])
             cp.start() if act == "start" else cp.wait()
 
         @pl.when(jnp.logical_not(small))
         def _():
-            cp = pltpu.make_async_copy(dst_big(roi), win.at[j], rsem.at[j])
+            cp = pltpu.make_async_copy(dst_big(sref, j), win.at[slot], rsem.at[slot])
             cp.start() if act == "start" else cp.wait()
 
-    def wr(roi, j, act):
-        small = cls_ref[roi] == 1
+    def wr(sref, j, slot, act):
+        small = sref[0, 2, j] == 1
 
         @pl.when(small)
         def _():
-            cp = pltpu.make_async_copy(slot_small(j), dst_small(roi), wsem.at[j])
+            cp = pltpu.make_async_copy(slot_small(slot), dst_small(sref, j), wsem.at[slot])
             cp.start() if act == "start" else cp.wait()
 
         @pl.when(jnp.logical_not(small))
         def _():
-            cp = pltpu.make_async_copy(win.at[j], dst_big(roi), wsem.at[j])
+            cp = pltpu.make_async_copy(win.at[slot], dst_big(sref, j), wsem.at[slot])
             cp.start() if act == "start" else cp.wait()
 
-    def drain_then_read(roi, j, nxt, slot):
+    def drain_then_read(sref, j, slot, nsref, nj, nslot):
         """Issue the next read around the in-flight write: before it when
         disjoint (overlap), after it when conflicting (exact RMW chain)."""
 
-        @pl.when(conf_ref[nxt] == 1)
+        @pl.when(nsref[0, 3, nj] == 1)
         def _():
-            wr(roi, j, "wait")
+            wr(sref, j, slot, "wait")
 
-        rd(nxt, slot, "start")
+        rd(nsref, nj, nslot, "start")
 
-        @pl.when(conf_ref[nxt] == 0)
+        @pl.when(nsref[0, 3, nj] == 0)
         def _():
-            wr(roi, j, "wait")
+            wr(sref, j, slot, "wait")
 
     if not BWD_PIPELINE:
         # strictly serialized schedule: write drains before the next read
         for j in range(r):
-            roi = base + j
-            small = cls_ref[roi] == 1
-            rd(roi, j, "start")
+            small = scal_ref[0, 2, j] == 1
+            rd(scal_ref, j, j, "start")
             mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
             dwin = jnp.dot(
                 mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec
             )
-            rd(roi, j, "wait")
+            rd(scal_ref, j, j, "wait")
 
             @pl.when(small)
             def _():
@@ -651,22 +703,21 @@ def _bwd_kernel(y0_ref, x0_ref, cls_ref, conf_ref, ay_ref, ax_ref, g_ref, dbuf_i
             def _():
                 win[j] = win[j] + dwin.reshape(WINDOW_Y, BWD_X, c)
 
-            wr(roi, j, "start")
-            wr(roi, j, "wait")
+            wr(scal_ref, j, j, "start")
+            wr(scal_ref, j, j, "wait")
         return
 
     @pl.when(i == 0)
     def _():
-        rd(base, 0, "start")
+        rd(scal_ref, 0, 0, "start")
 
     for j in range(r):
-        roi = base + j
-        small = cls_ref[roi] == 1
+        small = scal_ref[0, 2, j] == 1
         mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
         dwin = jnp.dot(
             mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec
         )
-        rd(roi, j, "wait")
+        rd(scal_ref, j, j, "wait")
 
         @pl.when(small)
         def _():
@@ -679,24 +730,27 @@ def _bwd_kernel(y0_ref, x0_ref, cls_ref, conf_ref, ay_ref, ax_ref, g_ref, dbuf_i
         def _():
             win[j] = win[j] + dwin.reshape(WINDOW_Y, BWD_X, c)
 
-        wr(roi, j, "start")
+        wr(scal_ref, j, j, "start")
         if j + 1 < r:
-            drain_then_read(roi, j, roi + 1, j + 1)
+            drain_then_read(scal_ref, j, j, scal_ref, j + 1, j + 1)
         else:
             # cross-step prefetch: next step's first read rides this step's
             # write drain (same schedule, slot 0)
             @pl.when(i + 1 < num)
             def _():
-                drain_then_read(roi, j, roi + 1, 0)
+                drain_then_read(scal_ref, j, j, nxt_ref, 0, 0)
 
             @pl.when(i + 1 == num)
             def _():
-                wr(roi, j, "wait")
+                wr(scal_ref, j, j, "wait")
 
 
 def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     """dfeatures for the Pallas forward: same geometry, serialized RMW
-    accumulation in f32. Returns a dict matching `features`."""
+    accumulation in f32. Returns a dict matching `features`. Batched inputs
+    accumulate the whole batch in one kernel over the Y-stacked plane; the
+    RMW chain crosses image boundaries with conf=0 by construction (plane
+    offsets differ by >= h_stack > any window extent)."""
     dtype = next(iter(features.values())).dtype
     rois_per_step = _rois_per_step(jnp.dtype(dtype).itemsize)
     p = _prep(features, boxes, output_size, strides, sampling_ratio, rois_per_step,
@@ -706,13 +760,14 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     y0w, x0w, ay, ax = p["y0w"], p["x0w"], p["ay"], p["ax"]
     small = p["small"]
     s = output_size
+    b = p["b"]
 
     # cotangent rows (sy, sx) padded to (S_PAD^2, C), f32
     gp = jnp.zeros((n_pad, S_PAD, S_PAD, c), jnp.float32)
-    gp = gp.at[:n, :s, :s].set(g.astype(jnp.float32))
+    gp = gp.at[:n, :s, :s].set(g.reshape(n, s, s, c).astype(jnp.float32))
     gp = gp.reshape(n_pad, S_PAD * S_PAD, c)
 
-    dbuf = jnp.zeros((h_stack, w0, c), jnp.float32)
+    dbuf = jnp.zeros((b * h_stack, w0, c), jnp.float32)
 
     # pairwise-adjacent window conflicts for the pipelined RMW: conf[i] = 1
     # iff ROI i's window intersects ROI i-1's (per-ROI extents by class).
@@ -723,24 +778,41 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     ovl_y = (y0w[1:] < y0w[:-1] + wy[:-1]) & (y0w[:-1] < y0w[1:] + wy[1:])
     ovl_x = (x0w[1:] < x0w[:-1] + wx[:-1]) & (x0w[:-1] < x0w[1:] + wx[1:])
     conf = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), (ovl_y & ovl_x).astype(jnp.int32),
-         jnp.zeros((1,), jnp.int32)]
+        [jnp.zeros((1,), jnp.int32), (ovl_y & ovl_x).astype(jnp.int32)]
+    )
+
+    # per-step scalar rows (y0, x0, cls, conf) as blocked SMEM (see _kernel)
+    steps = n_pad // rois_per_step
+    scal = (
+        jnp.stack([y0w, x0w, small, conf], 0)
+        .reshape(4, steps, rois_per_step)
+        .transpose(1, 0, 2)
+    )
+    scal_spec = pl.BlockSpec(
+        (1, 4, rois_per_step), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    nxt_spec = pl.BlockSpec(
+        (1, 4, rois_per_step),
+        lambda i: (jnp.minimum(i + 1, steps - 1), 0, 0),
+        memory_space=pltpu.SMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_pad // rois_per_step,),
+        num_scalar_prefetch=0,
+        grid=(steps,),
         in_specs=[
+            scal_spec,
+            nxt_spec,
             pl.BlockSpec(
-                (rois_per_step, S_PAD, WINDOW_Y), lambda i, *_: (i, 0, 0),
+                (rois_per_step, S_PAD, WINDOW_Y), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (rois_per_step, S_PAD, BWD_X), lambda i, *_: (i, 0, 0),
+                (rois_per_step, S_PAD, BWD_X), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (rois_per_step, S_PAD * S_PAD, c), lambda i, *_: (i, 0, 0),
+                (rois_per_step, S_PAD * S_PAD, c), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # dbuf (aliased to output)
@@ -756,21 +828,23 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dbuf.shape, jnp.float32),
-        # operand index counts the scalar-prefetch args first (4 scalars +
-        # ay, ax, g, dbuf -> dbuf is operand 7)
-        input_output_aliases={7: 0},
+        # operands: scal, nxt, ay, ax, g, dbuf -> dbuf is operand 5
+        input_output_aliases={5: 0},
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * S_PAD * S_PAD * WINDOW_Y * BWD_X * c,
             bytes_accessed=2 * n_pad * WINDOW_Y * BWD_X * c * 4,
             transcendentals=0,
         ),
         interpret=FORCE_INTERPRET,
-    )(y0w, x0w, small, conf, ay, ax, gp, dbuf)
+    )(scal, scal, ay, ax, gp, dbuf)
 
+    out = out.reshape(b, h_stack, w0, c)
     dfeat = {}
     for off, nm in zip(p["offs"], names):
-        h, w = features[nm].shape[:2]
-        dfeat[nm] = out[int(off) : int(off) + h, :w].astype(features[nm].dtype)
+        hw_shape = features[nm].shape[1:3] if p["batched"] else features[nm].shape[:2]
+        h, w = hw_shape
+        d = out[:, int(off) : int(off) + h, :w].astype(features[nm].dtype)
+        dfeat[nm] = d if p["batched"] else d[0]
     return dfeat
 
 
@@ -812,6 +886,11 @@ def multilevel_roi_align_tpu(
 ) -> jnp.ndarray:
     """Differentiable drop-in multilevel ROIAlign (Pallas forward).
 
+    Accepts one image ((H,W,C) levels + (N,4) boxes) or a batch
+    ((B,H,W,C) + (B,N,4)) — batched calls run ONE kernel over the
+    Y-stacked batch plane instead of vmap (which lowers scalar-prefetch
+    pallas_calls to a while loop over images; see _prep).
+
     Falls back to the XLA windowed path when the channel count is not a
     multiple of the 128-lane tile (Mosaic cannot fold the (W, C) window
     axes into one matmul operand otherwise). The fallback shares the Pallas
@@ -822,10 +901,14 @@ def multilevel_roi_align_tpu(
     if c % 128:
         from .roi_align import multilevel_roi_align_windowed
 
-        return multilevel_roi_align_windowed(
-            features, boxes, output_size, strides, sampling_ratio,
-            window=WINDOW_Y,
+        fb = functools.partial(
+            multilevel_roi_align_windowed,
+            output_size=output_size, strides=strides,
+            sampling_ratio=sampling_ratio, window=WINDOW_Y,
         )
+        if boxes.ndim == 3:
+            return jax.vmap(fb)(features, boxes)
+        return fb(features, boxes)
     pool = _make_pooler(output_size, tuple(sorted(strides.items())), sampling_ratio)
     return pool(features, boxes)
 

@@ -30,6 +30,136 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pb_fields(buf: memoryview):
+    """Yield (field_no, wire_type, value) from a protobuf message body.
+
+    Minimal wire-format reader: varint (0), 64-bit (1), length-delimited (2),
+    32-bit (5). Enough to walk an XSpace without any generated proto code
+    (the image's tensorboard_plugin_profile / TF pywrap are version-skewed
+    and cannot load one).
+    """
+    i, n = 0, len(buf)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wt, v
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 1:
+            yield field, wt, bytes(buf[i : i + 8])
+            i += 8
+        elif wt == 5:
+            yield field, wt, bytes(buf[i : i + 4])
+            i += 4
+        else:  # pragma: no cover - groups unused in xplane
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def summarize_xspace_raw(trace_dir: str, top: int):
+    """Plugin-free xplane reducer: aggregate device-plane event durations.
+
+    XSpace schema (tsl/profiler/protobuf/xplane.proto): XSpace.planes=1;
+    XPlane{name=2, lines=3, event_metadata=4(map)}; XLine{name=2, events=4};
+    XEvent{metadata_id=1, duration_ps=3}; XEventMetadata{id=1, name=2}.
+    On TPU device planes each line's op events are non-overlapping, so
+    duration == self time at the line's granularity; we use the 'XLA Ops'
+    line (falling back to all lines of the TPU plane).
+    """
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    buf = memoryview(open(paths[-1], "rb").read())
+    per_line = {}  # (plane, line) -> {name: total_ps}
+    for f, wt, plane in _pb_fields(buf):
+        if f != 1 or wt != 2:
+            continue
+        name, lines, meta = "", [], {}
+        for pf, pwt, pv in _pb_fields(plane):
+            if pf == 2 and pwt == 2:
+                name = bytes(pv).decode("utf-8", "replace")
+            elif pf == 3 and pwt == 2:
+                lines.append(pv)
+            elif pf == 4 and pwt == 2:
+                k, mname = None, ""
+                for mf, mwt, mv in _pb_fields(pv):
+                    if mf == 1 and mwt == 0:
+                        k = mv
+                    elif mf == 2 and mwt == 2:
+                        for ef, ewt, ev in _pb_fields(mv):
+                            if ef == 1 and ewt == 0 and k is None:
+                                k = ev
+                            elif ef == 2 and ewt == 2:
+                                mname = bytes(ev).decode("utf-8", "replace")
+                if k is not None:
+                    meta[k] = mname
+        low = name.lower()
+        if not ("tpu" in low or "/device" in low) or "host" in low:
+            continue
+        for ln in lines:
+            lname, events = "", []
+            for lf, lwt, lv in _pb_fields(ln):
+                if lf == 2 and lwt == 2:
+                    lname = bytes(lv).decode("utf-8", "replace")
+                elif lf == 4 and lwt == 2:
+                    events.append(lv)
+            agg = per_line.setdefault((name, lname), {})
+            for e in events:
+                mid, dur = 0, 0
+                for ef, ewt, ev in _pb_fields(e):
+                    if ef == 1 and ewt == 0:
+                        mid = ev
+                    elif ef == 3 and ewt == 0:
+                        dur = ev
+                nm = meta.get(mid, str(mid))
+                agg[nm] = agg.get(nm, 0) + dur
+    if not per_line:
+        raise RuntimeError("no device-plane events found in trace")
+    for (pl, ln), agg in sorted(per_line.items()):
+        print(json.dumps({"plane": pl, "line": ln, "events": len(agg),
+                          "total_us": round(sum(agg.values()) / 1e6, 1)}))
+    # the op-level line: prefer an 'XLA Ops' line, else the busiest line
+    key = next((k for k in per_line if "xla op" in k[1].lower()), None)
+    if key is None:
+        key = max(per_line, key=lambda k: sum(per_line[k].values()))
+    agg = per_line[key]
+    total = sum(agg.values())
+    print(json.dumps({"chosen_line": key[1], "total_device_us": round(total / 1e6, 1)}))
+    for nm, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(json.dumps({"name": nm[:110], "self_us": round(ps / 1e6, 1),
+                          "pct": round(100 * ps / total, 2)}))
+
+
 def summarize_xspace(trace_dir: str, top: int):
     """Reduce the newest .xplane.pb under trace_dir to an op-stats table."""
     from tensorboard_plugin_profile.convert import raw_to_tool_data
@@ -97,7 +227,7 @@ def main():
     args = ap.parse_args()
 
     if args.analyze_only:
-        summarize_xspace(args.analyze_only, args.top)
+        summarize_xspace_raw(args.analyze_only, args.top)
         return
 
     from bench_all import BATCH, _train_batch, det_cfg, make_image_batch
@@ -146,7 +276,7 @@ def main():
         for i in range(args.steps):
             s = s + one(2 + i).astype(jnp.float32)
         jax.device_get(s)
-    summarize_xspace(args.out, args.top)
+    summarize_xspace_raw(args.out, args.top)
 
 
 if __name__ == "__main__":

@@ -559,6 +559,11 @@ def _pallas_forward(
             bytes_accessed=n_pad * WINDOW_Y * WINDOW_X * c * itemsize,
             transcendentals=0,
         ),
+        # scratch (2*R*32*48*C) + blocks + Mosaic stack temporaries land at
+        # 16.004 MB at C=256 bf16 — 4 KB over the default 16 MB scoped-vmem
+        # limit (v5e has 128 MB VMEM; observed as an AOT "stack OOM" only at
+        # inference ROI counts). Give explicit headroom.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=FORCE_INTERPRET,
     )(scal, scal, ay, ax, buf)
     out = out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
@@ -835,6 +840,9 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
             bytes_accessed=2 * n_pad * WINDOW_Y * BWD_X * c * 4,
             transcendentals=0,
         ),
+        # same headroom as the forward: the f32 RMW scratch + blocks sit
+        # near the 16 MB default scoped-vmem limit at C=256
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=FORCE_INTERPRET,
     )(scal, scal, ay, ax, gp, dbuf)
 

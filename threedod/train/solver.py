@@ -31,11 +31,52 @@ import optax
 ADAM_EPS = 1e-2
 
 
+def scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999, eps: float = ADAM_EPS):
+    """AMSGrad with torch.optim semantics (reference parity).
+
+    torch (`amsgrad=True`, adam.py) keeps the running max of the RAW second
+    moments and bias-corrects the max at use time:
+        nu_max <- max(nu_max, nu);  denom = sqrt(nu_max / bc2) + eps
+    optax's `scale_by_amsgrad` instead maxes the bias-corrected moments
+    (max(nu_hat, nu/bc2)) — since bc2 grows over steps the two running
+    maxima differ and the trajectories diverge (caught by
+    tests/test_solver_torch_parity.py). Elementwise, so the flat-vector
+    optimizer can reuse it unchanged."""
+
+    def init_fn(params):
+        z = lambda p: jnp.zeros_like(p)
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree.map(z, params),
+            "nu": jax.tree.map(z, params),
+            "nu_max": jax.tree.map(z, params),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], updates)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps), mu, nu_max
+        )
+        return out, {"count": count, "mu": mu, "nu": nu, "nu_max": nu_max}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def warmup_multistep_schedule(base_lr, steps, gamma, warmup_iters, warmup_factor):
     """detectron2 WarmupMultiStepLR: linear warmup then step decays."""
 
     def schedule(count):
-        warm = jnp.clip(count / jnp.maximum(warmup_iters, 1), 0.0, 1.0)
+        if warmup_iters <= 0:
+            # d2 semantics: `iter < warmup_iters` never true -> no warmup
+            warm = jnp.ones((), jnp.float32)
+        else:
+            warm = jnp.clip(count / warmup_iters, 0.0, 1.0)
         factor = warmup_factor * (1 - warm) + warm
         milestone = jnp.zeros((), jnp.float32)
         for s in steps:
@@ -88,11 +129,18 @@ def build_optimizer(cfg, params):
     elif opt_type in ("adam", "adam+amsgrad"):
         if s.weight_decay > 0:
             parts.append(optax.add_decayed_weights(s.weight_decay, mask=wd_mask))
-        make = optax.amsgrad if "amsgrad" in opt_type else optax.adam
-        parts.append(make(learning_rate=schedule, eps=ADAM_EPS))
+        if "amsgrad" in opt_type:
+            parts.append(scale_by_amsgrad_torch())
+            parts.append(optax.scale_by_learning_rate(schedule))
+        else:
+            parts.append(optax.adam(learning_rate=schedule, eps=ADAM_EPS))
     elif opt_type in ("adamw", "adamw+amsgrad"):
-        scaler = optax.scale_by_amsgrad if "amsgrad" in opt_type else optax.scale_by_adam
-        parts.append(scaler(eps=ADAM_EPS))
+        scaler = (
+            scale_by_amsgrad_torch()
+            if "amsgrad" in opt_type
+            else optax.scale_by_adam(eps=ADAM_EPS)
+        )
+        parts.append(scaler)
         parts.append(optax.add_decayed_weights(s.weight_decay, mask=wd_mask))
         parts.append(optax.scale_by_learning_rate(schedule))
     else:
@@ -157,13 +205,20 @@ def build_flat_optimizer(cfg, params):
     elif opt_type in ("adam", "adam+amsgrad"):
         if s.weight_decay > 0:
             parts.append(_flat_decay(s.weight_decay, mask))
-        make = optax.amsgrad if "amsgrad" in opt_type else optax.adam
-        parts.append(make(learning_rate=schedule, eps=ADAM_EPS))
+        if "amsgrad" in opt_type:
+            parts.append(scale_by_amsgrad_torch())
+            parts.append(optax.scale_by_learning_rate(schedule))
+        else:
+            parts.append(optax.adam(learning_rate=schedule, eps=ADAM_EPS))
     elif opt_type in ("adamw", "adamw+amsgrad"):
         # optax.adamw == chain(scale_by_adam, add_decayed_weights(wd, mask),
         # scale_by_learning_rate) — same chain with the elementwise mask
-        scaler = optax.scale_by_amsgrad if "amsgrad" in opt_type else optax.scale_by_adam
-        parts.append(scaler(eps=ADAM_EPS))
+        scaler = (
+            scale_by_amsgrad_torch()
+            if "amsgrad" in opt_type
+            else optax.scale_by_adam(eps=ADAM_EPS)
+        )
+        parts.append(scaler)
         parts.append(_flat_decay(s.weight_decay, mask))
         parts.append(optax.scale_by_learning_rate(schedule))
     else:

@@ -13,7 +13,13 @@ import numpy as np
 try:  # built by native/setup.py; optional
     from . import _loaderc  # type: ignore
 except ImportError:  # pragma: no cover - depends on build step
-    _loaderc = None
+    from ..utils.native_build import ensure_native_built
+
+    ensure_native_built()
+    try:
+        from . import _loaderc  # type: ignore
+    except ImportError:
+        _loaderc = None
 
 
 def native_available() -> bool:

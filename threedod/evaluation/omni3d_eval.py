@@ -37,8 +37,16 @@ try:
 
     HAS_NATIVE_EVAL = True
 except ImportError:  # pragma: no cover - depends on local build
-    _evalc = None
-    HAS_NATIVE_EVAL = False
+    from ..utils.native_build import ensure_native_built
+
+    ensure_native_built()
+    try:
+        from . import _evalc  # type: ignore
+
+        HAS_NATIVE_EVAL = True
+    except ImportError:
+        _evalc = None
+        HAS_NATIVE_EVAL = False
 
 
 def iou_2d_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd=None) -> np.ndarray:

@@ -1,0 +1,47 @@
+"""Best-effort one-shot auto-build of the native cores on a fresh checkout.
+
+The C++ extensions (`threedod/evaluation/_evalc`, `threedod/data/_loaderc`,
+sources in `native/`) are optional: every caller falls back to numpy/PIL.
+But a fresh clone that never ran `python native/setup.py` would silently
+run the slow fallbacks — so the import-fallback sites call
+:func:`ensure_native_built` once, which builds in-place if the toolchain
+and sources are present. Disable with THREEDOD_NO_NATIVE_BUILD=1.
+
+A marker file makes the attempt once-per-checkout (success or failure) and
+an flock serialises concurrent importers (e.g. loader worker processes).
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ensure_native_built(timeout: int = 300) -> bool:
+    """Try to build the native extensions in-place; True if a build ran OK."""
+    setup = os.path.join(_REPO, "native", "setup.py")
+    if os.environ.get("THREEDOD_NO_NATIVE_BUILD") or not os.path.isfile(setup):
+        return False
+    marker = os.path.join(_REPO, "native", ".autobuild_attempted")
+    if os.path.exists(marker):
+        return False
+    try:
+        import fcntl
+
+        with open(marker + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if os.path.exists(marker):  # another process built while we waited
+                return True
+            res = subprocess.run(
+                [sys.executable, setup],
+                capture_output=True,
+                timeout=timeout,
+                cwd=_REPO,
+            )
+            with open(marker, "w") as f:
+                f.write(str(res.returncode))
+            return res.returncode == 0
+    except Exception:  # pragma: no cover - toolchain/env specific
+        return False

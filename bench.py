@@ -121,19 +121,25 @@ def kernel_parity_gate():
     assert err < 0.1, f"fused block-down parity broke: {err}"
 
 
-def wait_for_tpu(attempts=4, probe_timeout=120, sleep_s=60):
-    """The axon relay has transient outages (observed hours-long, but usually
-    short): probe with a tiny device round-trip in a subprocess (a dead relay
-    HANGS the first op rather than erroring, so the probe needs an external
-    timeout) and retry a few times before giving up. Bounded at ~10 min so a
-    dead relay still fails the bench rather than stalling the driver."""
+def wait_for_tpu(budget_s=None, probe_timeout=120, sleep_s=120):
+    """The axon relay has transient outages (observed 2h+): probe with a tiny
+    device round-trip in a subprocess (a dead relay HANGS the first op rather
+    than erroring, so the probe needs an external timeout) and keep retrying
+    within a wall-clock budget. Default budget 45 min — long enough to
+    survive a typical relay flap during a driver capture — tunable via
+    THREEDOD_TPU_WAIT_S for interactive runs that want to fail fast."""
     import subprocess
 
+    if budget_s is None:
+        budget_s = float(os.environ.get("THREEDOD_TPU_WAIT_S", 2700))
     probe = (
         "import jax, jax.numpy as jnp;"
         "jax.device_get(jnp.ones((8,8)).sum())"
     )
-    for i in range(attempts):
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             subprocess.run(
                 [sys.executable, "-c", probe], timeout=probe_timeout,
@@ -141,10 +147,15 @@ def wait_for_tpu(attempts=4, probe_timeout=120, sleep_s=60):
             )
             return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if i < attempts - 1:
-                print(f"# TPU relay probe {i + 1}/{attempts} failed; retrying", file=sys.stderr)
-                time.sleep(sleep_s)
-    return False
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return False
+            print(
+                f"# TPU relay probe {attempt} failed; retrying "
+                f"({int(remaining)}s left in budget)",
+                file=sys.stderr,
+            )
+            time.sleep(min(sleep_s, max(remaining, 1)))
 
 
 def main():

@@ -71,3 +71,15 @@ class TestHostLR:
         assert host_lr(s, 10) == pytest.approx(0.02)
         assert host_lr(s, 150) == pytest.approx(0.002)
         assert host_lr(s, 250) == pytest.approx(0.0002)
+
+    def test_warmup_zero_matches_jnp_schedule(self):
+        # ADVICE r2: host_lr must mirror the warmup_iters=0 edge (full
+        # base_lr at iteration 0, not base_lr*warmup_factor)
+        from threedod.train.solver import warmup_multistep_schedule
+
+        s = SolverConfig(base_lr=0.02, steps=(100,), warmup_iters=0, warmup_factor=0.001, gamma=0.1)
+        sched = warmup_multistep_schedule(
+            s.base_lr, s.steps, s.gamma, s.warmup_iters, s.warmup_factor
+        )
+        for it in (0, 1, 50, 150):
+            assert host_lr(s, it) == pytest.approx(float(sched(it)), rel=1e-6), it

@@ -230,7 +230,10 @@ def build_flat_optimizer(cfg, params):
 def host_lr(solver_cfg, iteration: int) -> float:
     """Host-side (numpy-free) mirror of the schedule — the jnp version
     dispatches eager device ops per call, which is costly over a relay."""
-    warm = min(max(iteration / max(solver_cfg.warmup_iters, 1), 0.0), 1.0)
+    if solver_cfg.warmup_iters <= 0:
+        warm = 1.0  # mirror the jnp schedule's warmup_iters=0 edge
+    else:
+        warm = min(max(iteration / solver_cfg.warmup_iters, 0.0), 1.0)
     factor = solver_cfg.warmup_factor * (1 - warm) + warm
     milestones = sum(1 for s in solver_cfg.steps if iteration >= s)
     return float(solver_cfg.base_lr * factor * (solver_cfg.gamma ** milestones))

@@ -33,15 +33,23 @@ def ensure_native_built(timeout: int = 300) -> bool:
         with open(marker + ".lock", "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             if os.path.exists(marker):  # another process built while we waited
-                return True
-            res = subprocess.run(
-                [sys.executable, setup],
-                capture_output=True,
-                timeout=timeout,
-                cwd=_REPO,
-            )
-            with open(marker, "w") as f:
-                f.write(str(res.returncode))
-            return res.returncode == 0
+                with open(marker) as f:
+                    return f.read().strip() == "0"
+            outcome = "error"
+            try:
+                res = subprocess.run(
+                    [sys.executable, setup],
+                    capture_output=True,
+                    timeout=timeout,
+                    cwd=_REPO,
+                )
+                outcome = str(res.returncode)
+            finally:
+                # record failed/timed-out attempts too: the once-per-checkout
+                # guarantee must hold even on a broken toolchain, or every
+                # fresh process re-pays the up-to-`timeout` build serially
+                with open(marker, "w") as f:
+                    f.write(outcome)
+            return outcome == "0"
     except Exception:  # pragma: no cover - toolchain/env specific
         return False

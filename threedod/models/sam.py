@@ -161,8 +161,10 @@ class ImageEncoderViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        """x: (B, H, W, 3) pixel-normalised; returns (B, H/16, W/16, 256)."""
+    def __call__(self, x, return_interm: bool = False):
+        """x: (B, H, W, 3) pixel-normalised; returns (B, H/16, W/16, 256)
+        (plus the first global-attn block's (B, H/16, W/16, dim) feature
+        when `return_interm` — the SAM-HQ early-ViT tap)."""
         grid = self.img_size // self.patch_size
         x = nn.Conv(
             self.dim, (self.patch_size, self.patch_size),
@@ -173,16 +175,24 @@ class ImageEncoderViT(nn.Module):
             pos = jax.image.resize(pos, (1, x.shape[1], x.shape[2], self.dim), method="bicubic")
         x = x + pos
         hw = (x.shape[1], x.shape[2])
+        interm = None
         for i in range(self.depth):
             x = SamBlock(
                 self.dim, self.num_heads, self.window,
                 global_attn=i in self.global_attn_indexes,
                 input_size=hw, dtype=self.dtype, name=f"block{i}",
             )(x)
+            if interm is None and i in self.global_attn_indexes:
+                # SAM-HQ taps the FIRST global-attention block's output as
+                # the "early ViT feature" for its global-local fusion
+                # (sam-hq MaskDecoderHQ: interm_embeddings[0])
+                interm = x
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck0")(x)
         x = LayerNorm2d(self.out_chans, name="neck1")(x)
         x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name="neck2")(x)
         x = LayerNorm2d(self.out_chans, name="neck3")(x)
+        if return_interm:
+            return x, interm
         return x
 
 
@@ -268,11 +278,20 @@ class TwoWayAttention(nn.Module):
 
 
 class MaskDecoder(nn.Module):
+    """SAM two-way-transformer mask decoder; with ``hq=True`` it becomes the
+    SAM-HQ MaskDecoderHQ (sam-hq modeling/mask_decoder_hq.py): one extra
+    HQ-output token + hypernetwork MLP, and a global-local fused feature
+    plane (`embedding_encoder` on the neck output + `compress_vit_feat` on
+    the early ViT feature) that only the HQ mask reads. The IoU head still
+    predicts 4 scores (it predates the HQ token in the official layout)."""
+
     embed_dim: int = 256
     num_heads: int = 8
     mlp_dim: int = 2048
     num_multimask: int = 3
     iou_head_depth: int = 3
+    hq: bool = False
+    vit_dim: int = 768  # early-ViT channel count (encoder dim) for compress_vit
 
     def setup(self):
         n_masks = self.num_multimask + 1
@@ -312,24 +331,62 @@ class MaskDecoder(nn.Module):
             nn.Dense(self.embed_dim, name="iou_mlp_1"),
             nn.Dense(self.num_multimask + 1, name="iou_mlp_2"),
         ]
+        if self.hq:
+            ed = self.embed_dim
+            self.hf_token = self.param("hf_token", nn.initializers.normal(1.0), (1, ed))
+            self.hf_mlp = [
+                nn.Dense(ed, name="hf_mlp_0"),
+                nn.Dense(ed, name="hf_mlp_1"),
+                nn.Dense(ed // 8, name="hf_mlp_2"),
+            ]
+            # Sequential(ConvT 2x2 s2, LayerNorm2d, GELU, ConvT 2x2 s2)
+            self.compress_vit_conv1 = nn.ConvTranspose(
+                ed, (2, 2), strides=(2, 2), transpose_kernel=True, name="compress_vit_conv1"
+            )
+            self.compress_vit_norm = LayerNorm2d(ed, name="compress_vit_norm")
+            self.compress_vit_conv2 = nn.ConvTranspose(
+                ed // 8, (2, 2), strides=(2, 2), transpose_kernel=True, name="compress_vit_conv2"
+            )
+            self.encoder_conv1 = nn.ConvTranspose(
+                ed // 4, (2, 2), strides=(2, 2), transpose_kernel=True, name="encoder_conv1"
+            )
+            self.encoder_norm = LayerNorm2d(ed // 4, name="encoder_norm")
+            self.encoder_conv2 = nn.ConvTranspose(
+                ed // 8, (2, 2), strides=(2, 2), transpose_kernel=True, name="encoder_conv2"
+            )
+            # Sequential(Conv 3x3, LayerNorm2d, GELU, Conv 3x3)
+            self.mask_conv1 = nn.Conv(ed // 4, (3, 3), padding="SAME", name="mask_conv1")
+            self.mask_norm = LayerNorm2d(ed // 4, name="mask_norm")
+            self.mask_conv2 = nn.Conv(ed // 8, (3, 3), padding="SAME", name="mask_conv2")
 
-    def __call__(self, image_embed, image_pe, sparse_prompts):
-        """image_embed (N, h, w, C); image_pe (h, w, C); sparse (N, P, C).
+    def hq_features(self, image_embed, vit_feat):
+        """Global-local fusion plane (1, 4h, 4w, C/8): embedding_encoder on
+        the neck output + compress_vit_feat on the early ViT feature
+        (sam-hq MaskDecoderHQ.forward)."""
+        e = self.encoder_conv1(image_embed)
+        e = self.encoder_conv2(nn.gelu(self.encoder_norm(e), approximate=False))
+        c = self.compress_vit_conv1(vit_feat)
+        c = self.compress_vit_conv2(nn.gelu(self.compress_vit_norm(c), approximate=False))
+        return e + c
 
-        Returns (masks (N, n_masks, 4h, 4w), iou_pred (N, n_masks)).
+    def __call__(self, image_embed, image_pe, sparse_prompts, hq_feat=None):
+        """image_embed (N, h, w, C); image_pe (h, w, C); sparse (N, P, C);
+        hq_feat (1, 4h, 4w, C/8) fused plane (HQ mode only).
+
+        Returns (masks (N, n_tokens, 4h, 4w), iou_pred (N, num_multimask+1))
+        where n_tokens = num_multimask + 1 (+1 HQ mask last, in HQ mode).
         """
         n = sparse_prompts.shape[0]
         h, w = image_embed.shape[1:3]
-        tokens = jnp.concatenate(
-            [
-                jnp.broadcast_to(self.iou_token, (n, 1, self.embed_dim)),
-                jnp.broadcast_to(
-                    self.mask_tokens, (n, self.num_multimask + 1, self.embed_dim)
-                ),
-                sparse_prompts,
-            ],
-            axis=1,
-        )
+        toks = [
+            jnp.broadcast_to(self.iou_token, (n, 1, self.embed_dim)),
+            jnp.broadcast_to(
+                self.mask_tokens, (n, self.num_multimask + 1, self.embed_dim)
+            ),
+        ]
+        if self.hq:
+            toks.append(jnp.broadcast_to(self.hf_token, (n, 1, self.embed_dim)))
+        tokens = jnp.concatenate(toks + [sparse_prompts], axis=1)
         src = image_embed.reshape(n, h * w, self.embed_dim)
         pos = jnp.broadcast_to(image_pe.reshape(1, h * w, self.embed_dim), src.shape)
 
@@ -357,7 +414,8 @@ class MaskDecoder(nn.Module):
         queries = self.norm_final(queries + self.final_attn(qp, kp, keys))
 
         iou_out = queries[:, 0]
-        mask_toks = queries[:, 1 : 1 + self.num_multimask + 1]
+        n_tok = self.num_multimask + 1 + (1 if self.hq else 0)
+        mask_toks = queries[:, 1 : 1 + n_tok]
 
         img = keys.reshape(n, h, w, self.embed_dim)
         up = self.upscale_conv1(img)
@@ -372,6 +430,18 @@ class MaskDecoder(nn.Module):
             hypers.append(mlps[2](t))
         hyper = jnp.stack(hypers, axis=1)  # (N, n_masks, C/8)
         masks = jnp.einsum("nmc,nhwc->nmhw", hyper, up)
+        if self.hq:
+            # the HQ mask reads the embedding_maskfeature-refined SAM plane
+            # plus the fused global-local plane; SAM masks are untouched
+            up_hq = self.mask_conv1(up)
+            up_hq = self.mask_conv2(nn.gelu(self.mask_norm(up_hq), approximate=False))
+            up_hq = up_hq + hq_feat
+            t = mask_toks[:, n_tok - 1]
+            t = nn.relu(self.hf_mlp[0](t))
+            t = nn.relu(self.hf_mlp[1](t))
+            hq_hyper = self.hf_mlp[2](t)  # (N, C/8)
+            hq_mask = jnp.einsum("nc,nhwc->nhw", hq_hyper, up_hq)
+            masks = jnp.concatenate([masks, hq_mask[:, None]], axis=1)
 
         x = iou_out
         x = nn.relu(self.iou_mlp[0](x))
@@ -381,13 +451,21 @@ class MaskDecoder(nn.Module):
 
 
 class Sam(nn.Module):
-    """Full SAM: encoder + prompt encoder + decoder (ViT-B by default)."""
+    """Full SAM: encoder + prompt encoder + decoder (ViT-B by default).
+
+    ``hq=True`` builds SAM-HQ (the variant the reference actually loads:
+    `sam-hq/sam_hq_vit_b.pth`, generate_ground_segmentations.py:11-18,
+    in-loop use roi_heads.py:993-1011): the decoder gains the HQ output
+    token and the early/final ViT feature fusion, and box decoding returns
+    the reference's default `hq_token_only=False` combination
+    (SAM mask + HQ correction, sam-hq modeling/sam.py forward)."""
 
     encoder_dim: int = 768
     encoder_depth: int = 12
     encoder_heads: int = 12
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     img_size: int = 1024
+    hq: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -400,16 +478,31 @@ class Sam(nn.Module):
         self.prompt_encoder = PromptEncoder(
             image_embedding_size=(grid, grid), input_image_size=(self.img_size, self.img_size)
         )
-        self.mask_decoder = MaskDecoder()
+        self.mask_decoder = MaskDecoder(hq=self.hq, vit_dim=self.encoder_dim)
 
     def encode_image(self, x):
+        """Returns the (1, h, w, 256) embedding; in HQ mode a tuple of
+        (embedding, early-ViT feature) — both are decoder inputs."""
+        if self.hq:
+            return self.image_encoder(x, return_interm=True)
         return self.image_encoder(x)
 
-    def decode_boxes(self, image_embed, boxes, multimask_output: bool = False):
-        """image_embed (1, h, w, C); boxes (N, 4) in model-input pixels.
+    def decode_boxes(
+        self,
+        image_embed,
+        boxes,
+        multimask_output: bool = False,
+        hq_token_only: bool = False,
+    ):
+        """image_embed: (1, h, w, C), or ((1,h,w,C), (1,h,w,vit_dim)) in HQ
+        mode (the `encode_image` output); boxes (N, 4) model-input pixels.
 
-        Returns mask logits (N, 4h, 4w) for the best (single-mask) output.
-        """
+        Returns mask logits (N, 4h, 4w). In HQ mode: SAM mask + HQ
+        correction (hq_token_only=False default, like the reference's
+        `self.segmentor(batched_input, multimask_output=False)` call)."""
+        vit_feat = None
+        if self.hq:
+            image_embed, vit_feat = image_embed
         sparse = self.prompt_encoder.encode_boxes(boxes)
         dense_pe = self.prompt_encoder.dense_pe()
         n = boxes.shape[0]
@@ -418,11 +511,20 @@ class Sam(nn.Module):
         # (official mask_decoder.predict_masks / prompt_encoder forward)
         img = image_embed + self.prompt_encoder.no_mask_embed[0]
         img = jnp.broadcast_to(img, (n,) + image_embed.shape[1:])
-        masks, iou_pred = self.mask_decoder(img, dense_pe, sparse)
+        hq_feat = None
+        if self.hq:
+            # fused from the RAW embedding (pre no_mask_embed), once per image
+            hq_feat = self.mask_decoder.hq_features(image_embed, vit_feat)
+        masks, iou_pred = self.mask_decoder(img, dense_pe, sparse, hq_feat)
         if multimask_output:
             best = jnp.argmax(iou_pred[:, 1:], axis=1) + 1
-            return jnp.take_along_axis(masks, best[:, None, None, None], axis=1)[:, 0]
-        return masks[:, 0]
+            sam_mask = jnp.take_along_axis(masks, best[:, None, None, None], axis=1)[:, 0]
+        else:
+            sam_mask = masks[:, 0]
+        if not self.hq:
+            return sam_mask
+        hq_mask = masks[:, -1]
+        return hq_mask if hq_token_only else sam_mask + hq_mask
 
     def __call__(self, x, boxes):
         emb = self.encode_image(x)

@@ -117,10 +117,16 @@ def convert_depth_anything_v2(state_dict: Dict, encoder: str = "vits") -> Dict:
     }
 
 
-def convert_sam(state_dict: Dict, depth: int = 12) -> Dict:
+def convert_sam(state_dict: Dict, depth: int = 12, hq: bool = None) -> Dict:
     """Official SAM checkpoint (sam_vit_b_01ec64.pth layout) -> flax params
-    for threedod.models.sam.Sam."""
+    for threedod.models.sam.Sam. Also converts SAM-HQ checkpoints
+    (sam_hq_vit_b.pth, the variant the reference loads —
+    generate_ground_segmentations.py:11-18): HQ is auto-detected from the
+    `mask_decoder.hf_token.weight` key, or forced with `hq=`; the target
+    model must then be built with ``Sam(hq=True)``."""
     sd = state_dict
+    if hq is None:
+        hq = "mask_decoder.hf_token.weight" in sd
     enc = {
         "patch_embed": conv(sd, "image_encoder.patch_embed.proj"),
         "pos_embed": _t(sd["image_encoder.pos_embed"]),  # already (1, H, W, C)
@@ -191,6 +197,31 @@ def convert_sam(state_dict: Dict, depth: int = 12) -> Dict:
         dec[f"hyper{i}_2"] = linear(sd, f"{h}.layers.2")
     for i in range(3):
         dec[f"iou_mlp_{i}"] = linear(sd, f"mask_decoder.iou_prediction_head.layers.{i}")
+
+    if hq:
+        dec["hf_token"] = _t(sd["mask_decoder.hf_token.weight"])
+        for i in range(3):
+            dec[f"hf_mlp_{i}"] = linear(sd, f"mask_decoder.hf_mlp.layers.{i}")
+        # the three Sequential(conv/ConvT, LayerNorm2d, GELU, conv/ConvT)
+        # stacks of MaskDecoderHQ (sam-hq mask_decoder_hq.py __init__)
+        dec["compress_vit_conv1"] = conv_transpose(sd, "mask_decoder.compress_vit_feat.0")
+        dec["compress_vit_norm"] = {
+            "weight": _t(sd["mask_decoder.compress_vit_feat.1.weight"]),
+            "bias": _t(sd["mask_decoder.compress_vit_feat.1.bias"]),
+        }
+        dec["compress_vit_conv2"] = conv_transpose(sd, "mask_decoder.compress_vit_feat.3")
+        dec["encoder_conv1"] = conv_transpose(sd, "mask_decoder.embedding_encoder.0")
+        dec["encoder_norm"] = {
+            "weight": _t(sd["mask_decoder.embedding_encoder.1.weight"]),
+            "bias": _t(sd["mask_decoder.embedding_encoder.1.bias"]),
+        }
+        dec["encoder_conv2"] = conv_transpose(sd, "mask_decoder.embedding_encoder.3")
+        dec["mask_conv1"] = conv(sd, "mask_decoder.embedding_maskfeature.0")
+        dec["mask_norm"] = {
+            "weight": _t(sd["mask_decoder.embedding_maskfeature.1.weight"]),
+            "bias": _t(sd["mask_decoder.embedding_maskfeature.1.bias"]),
+        }
+        dec["mask_conv2"] = conv(sd, "mask_decoder.embedding_maskfeature.3")
 
     return {"image_encoder": enc, "prompt_encoder": prompt, "mask_decoder": dec}
 

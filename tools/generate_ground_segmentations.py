@@ -86,12 +86,20 @@ def main():
 
         gdino_infer = jax.jit(_gdino, static_argnums=())
 
-    model = Sam(img_size=args.img_size, dtype=jnp.bfloat16)
     if args.checkpoint:
         from threedod.utils.convert_weights import convert_sam, load_torch_checkpoint
 
-        params = jax.tree.map(jnp.asarray, convert_sam(load_torch_checkpoint(args.checkpoint)))
+        # prefer SAM-HQ like the reference (sam_hq_vit_b.pth,
+        # generate_ground_segmentations.py:11-18): auto-detected from the
+        # checkpoint's hf_token key
+        sd = load_torch_checkpoint(args.checkpoint)
+        model = Sam(
+            img_size=args.img_size, dtype=jnp.bfloat16,
+            hq="mask_decoder.hf_token.weight" in sd,
+        )
+        params = jax.tree.map(jnp.asarray, convert_sam(sd))
     else:
+        model = Sam(img_size=args.img_size, dtype=jnp.bfloat16)
         dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
         params = model.init(jax.random.PRNGKey(0), dummy, jnp.zeros((1, 4)))["params"]
 

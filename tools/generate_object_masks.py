@@ -53,14 +53,19 @@ def main():
     if not args.box_fill:
         from threedod.models.sam import Sam, preprocess_sam_image
 
-        model = Sam(img_size=args.img_size, dtype=jnp.bfloat16)
         if args.checkpoint:
             from threedod.utils.convert_weights import convert_sam, load_torch_checkpoint
 
-            params = jax.tree.map(
-                jnp.asarray, convert_sam(load_torch_checkpoint(args.checkpoint))
+            # prefer SAM-HQ like the reference (sam_hq_vit_b.pth):
+            # auto-detected from the checkpoint's hf_token key
+            sd = load_torch_checkpoint(args.checkpoint)
+            model = Sam(
+                img_size=args.img_size, dtype=jnp.bfloat16,
+                hq="mask_decoder.hf_token.weight" in sd,
             )
+            params = jax.tree.map(jnp.asarray, convert_sam(sd))
         else:
+            model = Sam(img_size=args.img_size, dtype=jnp.bfloat16)
             dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
             params = model.init(jax.random.PRNGKey(0), dummy, jnp.zeros((1, 4)))["params"]
         infer = jax.jit(lambda x, b: model.apply({"params": params}, x, b))

@@ -53,6 +53,7 @@ from .rotations import (
     acos_linear_extrapolation,
     axis_angle_to_matrix,
     euler_to_matrix,
+    euler_xyz_to_matrix,
     matrix_to_euler,
     matrix_to_rotation_6d,
     normalize_quaternion,

@@ -45,6 +45,39 @@ def euler_to_matrix(euler: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+def euler_xyz_to_matrix(euler: jnp.ndarray) -> jnp.ndarray:
+    """Euler angles (..., 3) -> rotation matrices, pytorch3d 'XYZ'
+    convention R = Rx @ Ry @ Rz (extrinsic z-y-x).
+
+    This is the convention the reference CUBE HEAD uses
+    (cube_head.py:189 `euler_angles_to_matrix(box_pose.view(-1, 3),
+    'XYZ')`) — distinct from `euler_to_matrix` above, which matches the
+    reference's own euler2mat (math_util.py:85, R = Rz @ Ry @ Rx).
+    """
+    x, y, z = euler[..., 0], euler[..., 1], euler[..., 2]
+    cx, sx = jnp.cos(x), jnp.sin(x)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cz, sz = jnp.cos(z), jnp.sin(z)
+    # Row-wise expansion of Rx @ Ry @ Rz.
+    r00 = cy * cz
+    r01 = -cy * sz
+    r02 = sy
+    r10 = cx * sz + sx * sy * cz
+    r11 = cx * cz - sx * sy * sz
+    r12 = -sx * cy
+    r20 = sx * sz - cx * sy * cz
+    r21 = sx * cz + cx * sy * sz
+    r22 = cx * cy
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def matrix_to_euler(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrices (..., 3, 3) -> euler angles (..., 3) [x, y, z]."""
     sy = jnp.sqrt(R[..., 0, 0] ** 2 + R[..., 1, 0] ** 2)

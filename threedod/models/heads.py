@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..geometry.rotations import (
-    euler_to_matrix,
+    euler_xyz_to_matrix,
     normalize_quaternion,
     quaternion_to_matrix,
     rotation_6d_to_matrix,
@@ -123,7 +123,8 @@ class CubeHeadNet(nn.Module):
         elif self.pose_type == "quaternion":
             pose = quaternion_to_matrix(normalize_quaternion(pose_raw))
         else:
-            pose = euler_to_matrix(pose_raw)
+            # pytorch3d 'XYZ' convention (cube_head.py:189), NOT euler2mat
+            pose = euler_xyz_to_matrix(pose_raw)
         pose = pose.reshape(n, c, 3, 3)
 
         bins = max(self.cluster_bins, 1)

@@ -294,6 +294,60 @@ def linear_chw(sd: Dict, prefix: str, h: int, w: int, c: int) -> Dict:
     return {"kernel": wt, "bias": _t(sd[f"{prefix}.bias"])}
 
 
+def convert_roi_heads(sd: Dict, roi_params: Dict, res: int = 7, cfp: int = 256) -> Dict:
+    """ROI-head slice of the Cube R-CNN zoo mapping: d2 naming
+    (roi_heads.box_head.fc{1,2}, roi_heads.box_predictor.{cls_score,
+    bbox_pred}, roi_heads.cube_head.* per cube_head.py:56-149,
+    roi_heads.priors_*) -> flax params for models.ROIHeads3D.
+
+    `roi_params` is the flax template subtree (RCNN3D.init()["params"]
+    ["roi_heads"]) giving which cube-head FC stacks / priors exist.
+    Shared with convert_cubercnn_rcnn3d and the detector-head numeric
+    parity suite (tests/test_heads_parity.py)."""
+    box_head = {"fc1": linear_chw(sd, "roi_heads.box_head.fc1", res, res, cfp)}
+    for name in roi_params["box_head"]:
+        if name != "fc1":
+            box_head[name] = linear(sd, f"roi_heads.box_head.{name}")
+    box_predictor = {
+        "cls_score": linear(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": linear(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+
+    branch_map = {
+        "shared": "feature_generator",
+        "xy": "feature_generator_XY",
+        "dims": "feature_generator_dims",
+        "pose": "feature_generator_pose",
+        "z": "feature_generator_Z",
+        "conf": "feature_generator_conf",
+    }
+    cube_head = {}
+    for name in roi_params.get("cube_head", {}):
+        if name.startswith("bbox_3D"):
+            cube_head[name] = linear(sd, f"roi_heads.cube_head.{name}")
+        else:
+            branch, fc = name.rsplit("_", 1)  # shared_fc1 -> (shared, fc1)
+            tprefix = f"roi_heads.cube_head.{branch_map[branch]}.{fc}"
+            if fc == "fc1":
+                cube_head[name] = linear_chw(sd, tprefix, res, res, cfp)
+            else:
+                cube_head[name] = linear(sd, tprefix)
+
+    roi_heads = {
+        "box_head": box_head,
+        "box_predictor": box_predictor,
+    }
+    if cube_head:
+        roi_heads["cube_head"] = cube_head
+    for prior in ("priors_dims_per_cat", "priors_z_scales", "priors_z_stats"):
+        if prior in roi_params and f"roi_heads.{prior}" in sd:
+            roi_heads[prior] = _t(sd[f"roi_heads.{prior}"])
+        elif prior in roi_params:
+            roi_heads[prior] = roi_params[prior]  # keep template
+
+    return roi_heads
+
+
 def convert_cubercnn_rcnn3d(
     state_dict: Dict,
     variables: Dict,
@@ -347,46 +401,7 @@ def convert_cubercnn_rcnn3d(
     }
 
     # --- ROI heads ------------------------------------------------------------
-    box_head = {"fc1": linear_chw(sd, "roi_heads.box_head.fc1", res, res, cfp)}
-    for name in params["roi_heads"]["box_head"]:
-        if name != "fc1":
-            box_head[name] = linear(sd, f"roi_heads.box_head.{name}")
-    box_predictor = {
-        "cls_score": linear(sd, "roi_heads.box_predictor.cls_score"),
-        "bbox_pred": linear(sd, "roi_heads.box_predictor.bbox_pred"),
-    }
-
-    branch_map = {
-        "shared": "feature_generator",
-        "xy": "feature_generator_XY",
-        "dims": "feature_generator_dims",
-        "pose": "feature_generator_pose",
-        "z": "feature_generator_Z",
-        "conf": "feature_generator_conf",
-    }
-    cube_head = {}
-    for name in params["roi_heads"].get("cube_head", {}):
-        if name.startswith("bbox_3D"):
-            cube_head[name] = linear(sd, f"roi_heads.cube_head.{name}")
-        else:
-            branch, fc = name.rsplit("_", 1)  # shared_fc1 -> (shared, fc1)
-            tprefix = f"roi_heads.cube_head.{branch_map[branch]}.{fc}"
-            if fc == "fc1":
-                cube_head[name] = linear_chw(sd, tprefix, res, res, cfp)
-            else:
-                cube_head[name] = linear(sd, tprefix)
-
-    roi_heads = {
-        "box_head": box_head,
-        "box_predictor": box_predictor,
-    }
-    if cube_head:
-        roi_heads["cube_head"] = cube_head
-    for prior in ("priors_dims_per_cat", "priors_z_scales", "priors_z_stats"):
-        if prior in params["roi_heads"] and f"roi_heads.{prior}" in sd:
-            roi_heads[prior] = _t(sd[f"roi_heads.{prior}"])
-        elif prior in params["roi_heads"]:
-            roi_heads[prior] = params["roi_heads"][prior]  # keep template
+    roi_heads = convert_roi_heads(sd, params["roi_heads"], res, cfp)
 
     out_params = {
         "backbone": {"trunk": trunk["params"], "fpn": fpn},

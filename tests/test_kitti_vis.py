@@ -70,6 +70,68 @@ class TestKitti:
             d = json.load(f)
         assert d["annotations"] == [] and len(d["images"]) == 1
 
+    def test_copy_val_split(self, tmp_path):
+        """kitti_split.py parity: copies listed stems, skips missing."""
+        import os
+
+        from threedod.data.kitti import copy_val_split
+
+        src = tmp_path / "training" / "image_2"
+        os.makedirs(src)
+        for stem in ("000001", "000003"):
+            (src / f"{stem}.png").write_bytes(b"img")
+        (tmp_path / "val.txt").write_text("000001\n000002\n000003\n\n")
+        copied = copy_val_split(
+            str(tmp_path / "val.txt"), str(src), str(tmp_path / "val" / "image_2")
+        )
+        assert copied == ["000001.png", "000003.png"]  # 000002 missing -> skipped
+        assert sorted(os.listdir(tmp_path / "val" / "image_2")) == copied
+
+    def test_overwrite_pred_z_golden(self, tmp_path):
+        """kitti_pred_overwrite_z.py parity: IoU>=0.7 matches donate gt z
+        (field 13); skipped-gt categories must not shift the z assignment
+        (the documented index-alignment fix)."""
+        import os
+
+        from threedod.data.kitti import overwrite_pred_z, overwrite_pred_z_dir
+
+        def row(cat, trunc, box, z):
+            x1, y1, x2, y2 = box
+            return (
+                f"{cat} {trunc:.2f} 0 -0.2 {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"1.50 1.60 3.90 2.00 1.00 {z:.2f} 0.10"
+            )
+
+        # gt: a skipped DontCare FIRST, then two real cars
+        gt = [
+            row("DontCare", 0.0, (0, 0, 10, 10), 99.0),
+            row("Car", 0.0, (10, 10, 110, 90), 17.30),
+            row("Car", 1.0, (300, 50, 400, 120), 55.0),  # truncation 1.00 -> skipped
+            row("Car", 0.0, (200, 40, 290, 100), 31.25),
+        ]
+        dt = [
+            row("Car", 0.0, (12, 12, 108, 88), 5.0) + " 0.9",   # matches gt[1]
+            row("Car", 0.0, (198, 41, 292, 99), 6.0) + " 0.8",  # matches gt[3]
+            row("Car", 0.0, (600, 10, 650, 60), 7.0) + " 0.7",  # no match
+        ]
+        out = overwrite_pred_z([d + "\n" for d in dt], [g + "\n" for g in gt])
+        zs = [o.split()[13] for o in out]
+        assert zs == ["17.30", "31.25", "7.00"], zs
+        # scores survive untouched
+        assert [o.split()[15] for o in out] == ["0.9", "0.8", "0.7"]
+
+        # directory driver rewrites in place
+        pred_dir, gt_dir = tmp_path / "pred", tmp_path / "gt"
+        os.makedirs(pred_dir), os.makedirs(gt_dir)
+        (pred_dir / "000001.txt").write_text("\n".join(dt) + "\n")
+        (gt_dir / "000001.txt").write_text("\n".join(gt) + "\n")
+        (pred_dir / "000002.txt").write_text("")  # empty dt -> untouched
+        (gt_dir / "000002.txt").write_text("\n".join(gt) + "\n")
+        n = overwrite_pred_z_dir(str(pred_dir), str(gt_dir))
+        assert n == 1
+        got = (pred_dir / "000001.txt").read_text().splitlines()
+        assert [g.split()[13] for g in got] == ["17.30", "31.25", "7.00"]
+
 
 class TestVis:
     def test_draw_scene_view(self):

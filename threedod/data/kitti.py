@@ -139,3 +139,92 @@ def make_dummy_dataset(src_json: str, out_json: str):
     with open(out_json, "w") as f:
         json.dump(data, f)
     return out_json
+
+
+def copy_val_split(val_file: str, src_folder: str, dest_folder: str, ext: str = ".png"):
+    """Copy the validation-split images listed in `val_file` (one stem per
+    line) from `src_folder` to `dest_folder` (cubercnn/data/kitti_split.py).
+    Returns the list of copied file names; silently skips missing files
+    like the reference does."""
+    import shutil
+
+    os.makedirs(dest_folder, exist_ok=True)
+    copied = []
+    with open(val_file) as f:
+        for line in f:
+            name = line.strip()
+            if not name:
+                continue
+            file_name = name + ext
+            src = os.path.join(src_folder, file_name)
+            if os.path.exists(src):
+                shutil.copy(src, dest_folder)
+                copied.append(file_name)
+    return copied
+
+
+# gt categories the z-overwrite matcher ignores (kitti_pred_overwrite_z.py:33)
+_OVERWRITE_SKIP = {"DontCare", "Misc", "Tram", "Person_sitting"}
+
+
+def _iou_matrix_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 4) x (M, 4) XYXY IoU (reference util.iou, math_util.py:1001)."""
+    ax1, ay1, ax2, ay2 = a[:, 0, None], a[:, 1, None], a[:, 2, None], a[:, 3, None]
+    bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+    iw = np.clip(np.minimum(ax2, bx2) - np.maximum(ax1, bx1), 0, None)
+    ih = np.clip(np.minimum(ay2, by2) - np.maximum(ay1, by1), 0, None)
+    inter = iw * ih
+    area_a = np.clip(ax2 - ax1, 0, None) * np.clip(ay2 - ay1, 0, None)
+    area_b = np.clip(bx2 - bx1, 0, None) * np.clip(by2 - by1, 0, None)
+    return inter / np.clip(area_a + area_b - inter, 1e-9, None)
+
+
+def overwrite_pred_z(dt_lines: List[str], gt_lines: List[str], iou_thresh: float = 0.7) -> List[str]:
+    """Overwrite each prediction's z (KITTI txt field 13) with the z of any
+    GT whose 2D box overlaps it at IoU >= `iou_thresh`
+    (cubercnn/data/kitti_pred_overwrite_z.py).
+
+    GTs with category DontCare/Misc/Tram/Person_sitting or truncation ==
+    1.00 are excluded from matching. NOTE a deliberate fix vs the
+    reference: it builds the IoU matrix over the FILTERED gt boxes but then
+    reads `gt[j][13]` from the UNFILTERED list, mis-assigning z whenever a
+    skipped gt precedes a match; here the kept-gt indices are mapped back
+    to the original rows."""
+    dt = [d.split() for d in dt_lines]
+    gt = [g.split() for g in gt_lines]
+    if not dt:
+        return list(dt_lines)
+    kept = [
+        j for j, g in enumerate(gt)
+        if g[0] not in _OVERWRITE_SKIP and float(g[1]) != 1.00
+    ]
+    if kept:
+        dt_boxes = np.array([[float(v) for v in d[4:8]] for d in dt])
+        gt_boxes = np.array([[float(v) for v in gt[j][4:8]] for j in kept])
+        valid = _iou_matrix_xyxy(dt_boxes, gt_boxes) >= iou_thresh
+        for i in range(valid.shape[0]):
+            for jj in range(valid.shape[1]):
+                if valid[i, jj]:
+                    dt[i][13] = gt[kept[jj]][13]
+    return [" ".join(d) + "\n" for d in dt]
+
+
+def overwrite_pred_z_dir(pred_dir: str, gt_dir: str, iou_thresh: float = 0.7) -> int:
+    """Apply `overwrite_pred_z` in place to every file in `pred_dir`
+    against the same-named GT file in `gt_dir`; returns #files rewritten."""
+    n = 0
+    for path in sorted(os.listdir(pred_dir)):
+        full = os.path.join(pred_dir, path)
+        gt_path = os.path.join(gt_dir, path)
+        if not os.path.isfile(full) or not os.path.exists(gt_path):
+            continue
+        with open(gt_path) as f:
+            gt_lines = f.readlines()
+        with open(full) as f:
+            dt_lines = f.readlines()
+        out = overwrite_pred_z(dt_lines, gt_lines, iou_thresh)
+        if out != dt_lines:
+            with open(full, "w") as f:
+                f.writelines(out)
+            n += 1
+    return n

@@ -76,7 +76,13 @@ def iou_2d_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd=None) -> np.ndarray:
 
 _IOU3D_FN = None
 _IOU3D_PAIRS_FN = None
-_IOU3D_CHUNK = 8192
+# 2048, not 8192: XLA:TPU compile of the vmapped clipping kernel is
+# super-linear in the chunk size (measured r3, fresh process: 2048 ->
+# ~2-5 s total, 4096 -> ~12 s, 8192 -> ~25 s compile + 95 s first exec).
+# Steady-state cost of the smaller chunk is ~44 vs 34 us/pair — +0.4 s on
+# a 2k-image dataset — while the first 3D eval in a fresh process drops
+# from ~2 min to seconds (VERDICT r2 #5; tools/bench_eval_compile.py).
+_IOU3D_CHUNK = 2048
 
 
 def iou_3d_pairs_chunked(d_pairs: np.ndarray, g_pairs: np.ndarray) -> np.ndarray:

@@ -86,14 +86,16 @@ def _clip_polygon(verts: jnp.ndarray, count: jnp.ndarray, n: jnp.ndarray, d: jnp
     # interleave: per edge emit [intersection, next-vertex]
     cand = jnp.stack([v_int, v_next], axis=1).reshape(2 * m, 3)
     flags = jnp.stack([emit_int, emit_next], axis=1).reshape(2 * m)
-    # stable compaction of flagged candidates WITHOUT a sort: slot j holds
-    # the candidate whose running flag-count is j+1. (A stable argsort here
-    # is semantically identical but costs minutes of XLA:TPU compile time
-    # once vmapped inside the clip loop; this gather lowers to trivial HLO.)
-    csum = jnp.cumsum(flags.astype(jnp.int32))
-    idx = jnp.searchsorted(csum, jnp.arange(1, m + 1, dtype=jnp.int32), side="left")
-    packed = cand[jnp.clip(idx, 0, 2 * m - 1)]
-    new_count = csum[-1]
+    # stable compaction of the flagged candidates. Four bit-identical
+    # variants measured on v5e at 8000 pairs (r3, one process): stable
+    # argsort 212-270 ms, one-hot matmul 226 ms, scatter-with-drop 744 ms,
+    # searchsorted gather 493 ms (the r2 variant — its claimed compile-time
+    # win no longer reproduces: every variant compiles in ~20-26 s today).
+    # The argsort runs ~2x faster than the searchsorted it replaces and is
+    # what the r2 kernel used before f1111ae.
+    order = jnp.argsort(~flags, stable=True)
+    packed = cand[order[:m]]
+    new_count = flags.sum().astype(jnp.int32)
     return packed, new_count
 
 

@@ -156,18 +156,26 @@ def bench_asset_pipeline(gdino_size=800, sam_size=1024):
 
     hw = jnp.asarray([[float(sam_size), float(sam_size)]])
 
+    # two jits, not one: a single fused GDINO+SAM program is a ~30 min
+    # XLA:TPU compile whose remote_compile RPC the axon relay drops
+    # (broken pipe, observed twice); split compiles are minutes and the
+    # box stays on device between them.
     @jax.jit
-    def asset_step(gimg, simg):
+    def gdino_step(gimg):
         logits, boxes = gmodel.apply(gparams, gimg, ids, tok_mask)
         box, score = best_box_for_prompt(logits, boxes, hw)
-        mask = smodel.apply({"params": sparams}, simg, box.reshape(1, 4))
-        return box, mask
+        return box
+
+    @jax.jit
+    def sam_step(simg, box):
+        return smodel.apply({"params": sparams}, simg, box.reshape(1, 4))
 
     def run(k):
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float32)
         for i in range(k):
-            box, mask = asset_step(gx, sx)
+            box = gdino_step(gx)
+            mask = sam_step(sx, box)
             s = s + box.sum().astype(jnp.float32) + jnp.asarray(mask[0], jnp.float32).sum()
         jax.device_get(s)
         return time.perf_counter() - t0
@@ -307,9 +315,18 @@ def main():
         if want is not None and name not in want:
             return
         t0 = time.perf_counter()
-        value, unit = fn(*a)
-        rows[name] = {"value": round(value, 2), "unit": unit}
-        print(f"{name:28s} {value:10.2f} {unit}   (measured in {time.perf_counter()-t0:.0f}s)", flush=True)
+        try:
+            value, unit = fn(*a)
+        except Exception as e:  # relay flaps must not lose the other rows
+            rows[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"{name:28s} FAILED: {type(e).__name__} "
+                  f"(after {time.perf_counter()-t0:.0f}s)", flush=True)
+        else:
+            rows[name] = {"value": round(value, 2), "unit": unit}
+            print(f"{name:28s} {value:10.2f} {unit}   (measured in {time.perf_counter()-t0:.0f}s)", flush=True)
+        if args.json:  # write incrementally so a later crash keeps prior rows
+            with open(args.json, "w") as f:
+                json.dump(rows, f, indent=1)
 
     go("dla34_infer_512px_bs8", bench_infer, "dla34")
     go("resnet34_infer_512px_bs8", bench_infer, "resnet34")

@@ -53,16 +53,20 @@ def sine_pos_embed_2d(h: int, w: int, dim: int = 256, temperature: float = 20.0)
     frequency, concatenated (y-block, x-block)."""
     eps = 1e-6
     scale = 2 * math.pi
-    ys, xs = np.meshgrid(
-        np.arange(1, h + 1, dtype=np.float64),
-        np.arange(1, w + 1, dtype=np.float64),
+    # traced iota construction (constants inflate the lowered program past
+    # the relay's remote_compile size limit); the f64->f32 vs f32 rounding
+    # difference of the normalized coordinates is <=1 ulp
+    yy, xx = jnp.meshgrid(
+        jnp.arange(1, h + 1, dtype=jnp.float32),
+        jnp.arange(1, w + 1, dtype=jnp.float32),
         indexing="ij",
     )
-    ys = ys / (h + eps) * scale
-    xs = xs / (w + eps) * scale
+    # same op order as the official torch code (y / (H + eps) * scale)
+    ys = yy / np.float32(h + eps) * np.float32(scale)
+    xs = xx / np.float32(w + eps) * np.float32(scale)
     num = dim // 2
-    ye = _interleaved_sincos(jnp.asarray(ys, jnp.float32), num, temperature)
-    xe = _interleaved_sincos(jnp.asarray(xs, jnp.float32), num, temperature)
+    ye = _interleaved_sincos(ys, num, temperature)
+    xe = _interleaved_sincos(xs, num, temperature)
     return jnp.concatenate([ye, xe], axis=-1).reshape(h * w, dim)
 
 
@@ -307,14 +311,17 @@ class GroundingDINO(nn.Module):
             axis=0,
         )[None].astype(self.dtype)
 
-        # encoder reference points: per-token normalized centers at each level
+        # encoder reference points: per-token normalized centers at each
+        # level — built traced (iota) so they lower as a few ops, not an
+        # (S, 2) inline dense constant (program-size limit of the relay's
+        # remote_compile; see swin._rel_pos_index_jnp)
         refs = []
         for h, w in shapes:
-            ys, xs = np.meshgrid(
-                (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
-            )
-            refs.append(np.stack([xs, ys], -1).reshape(-1, 2))
-        ref_pts = jnp.asarray(np.concatenate(refs, 0).astype(np.float32))
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+            refs.append(jnp.stack([xx, yy], -1).reshape(-1, 2))
+        ref_pts = jnp.concatenate(refs, 0)
         ref_pts = jnp.broadcast_to(
             ref_pts[None, :, None, :], (b, ref_pts.shape[0], self.levels, 2)
         )

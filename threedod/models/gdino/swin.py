@@ -19,6 +19,19 @@ import numpy as np
 from flax import linen as nn
 
 
+def _rel_pos_index_jnp(ws: int) -> jnp.ndarray:
+    """Traced (ws², ws²) relative-position index — identical values to
+    `_rel_pos_index` but built from iota so it lowers as a few ops instead
+    of an inline dense constant (12 of these plus the shifted-window masks
+    put the lowered GDINO program at 27.5 MB, which the axon relay's
+    remote_compile rejects with HTTP 413)."""
+    ar = jnp.arange(ws, dtype=jnp.int32)
+    coords = jnp.stack(jnp.meshgrid(ar, ar, indexing="ij")).reshape(2, -1)  # (2, ws²)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, ws², ws²)
+    rel = rel + (ws - 1)
+    return rel[0] * (2 * ws - 1) + rel[1]
+
+
 def _rel_pos_index(ws: int) -> np.ndarray:
     coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
     flat = coords.reshape(2, -1)
@@ -49,7 +62,7 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window - 1) ** 2, h),
         )
-        idx = jnp.asarray(_rel_pos_index(self.window))
+        idx = _rel_pos_index_jnp(self.window)
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
         attn = attn + bias[None].astype(attn.dtype)
 
@@ -88,17 +101,22 @@ class SwinBlock(nn.Module):
         shift = self.shift if min(Hp, Wp) > ws else 0
         if shift:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            # static attention mask for the shifted partition
-            img_mask = np.zeros((Hp, Wp), np.int32)
-            cnt = 0
-            for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-                for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-                    img_mask[hs, wsl] = cnt
-                    cnt += 1
+            # attention mask for the shifted partition, built TRACED from
+            # iota region labels (values identical to the classic
+            # slice-loop construction): region 0 = [0, Hp-ws), 1 =
+            # [Hp-ws, Hp-shift), 2 = [Hp-shift, Hp). An (nW, ws², ws²)
+            # dense constant here is multi-MB of inline HLO per block —
+            # the relay's remote_compile rejects the program (HTTP 413).
+            def regions(n_total):
+                i = jnp.arange(n_total, dtype=jnp.int32)
+                return (i >= n_total - ws).astype(jnp.int32) + (
+                    i >= n_total - shift
+                ).astype(jnp.int32)
+
+            img_mask = regions(Hp)[:, None] * 3 + regions(Wp)[None, :]
             wm = img_mask.reshape(Hp // ws, ws, Wp // ws, ws).transpose(0, 2, 1, 3)
             wm = wm.reshape(-1, ws * ws)
-            am = (wm[:, :, None] != wm[:, None, :]) * -100.0
-            mask = jnp.asarray(am.astype(np.float32))
+            mask = jnp.where(wm[:, :, None] != wm[:, None, :], -100.0, 0.0)
         else:
             mask = None
 

@@ -159,23 +159,25 @@ def bench_asset_pipeline(gdino_size=800, sam_size=1024):
     # two jits, not one: a single fused GDINO+SAM program is a ~30 min
     # XLA:TPU compile whose remote_compile RPC the axon relay drops
     # (broken pipe, observed twice); split compiles are minutes and the
-    # box stays on device between them.
+    # box stays on device between them. Params are ARGUMENTS, not closure
+    # captures — closed-over arrays embed as program constants and the
+    # weight-sized payload trips the relay's HTTP 413 body limit.
     @jax.jit
-    def gdino_step(gimg):
-        logits, boxes = gmodel.apply(gparams, gimg, ids, tok_mask)
+    def gdino_step(p, gimg):
+        logits, boxes = gmodel.apply(p, gimg, ids, tok_mask)
         box, score = best_box_for_prompt(logits, boxes, hw)
         return box
 
     @jax.jit
-    def sam_step(simg, box):
-        return smodel.apply({"params": sparams}, simg, box.reshape(1, 4))
+    def sam_step(p, simg, box):
+        return smodel.apply({"params": p}, simg, box.reshape(1, 4))
 
     def run(k):
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float32)
         for i in range(k):
-            box = gdino_step(gx)
-            mask = sam_step(sx, box)
+            box = gdino_step(gparams, gx)
+            mask = sam_step(sparams, sx, box)
             s = s + box.sum().astype(jnp.float32) + jnp.asarray(mask[0], jnp.float32).sum()
         jax.device_get(s)
         return time.perf_counter() - t0

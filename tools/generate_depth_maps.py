@@ -57,7 +57,9 @@ def main():
     else:
         raise SystemExit("provide --checkpoint or --random-weights")
 
-    infer = jax.jit(lambda x: model.apply({"params": params}, x))
+    # params as an argument, not a closure capture (relay 413 limit)
+    _infer = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    infer = lambda x: _infer(params, x)
 
     os.makedirs(args.out_dir, exist_ok=True)
     for im in data["images"]:

@@ -73,18 +73,20 @@ def main():
         ids = np.asarray([[int(t) for t in args.prompt_token_ids.split(",")]], np.int32)
         tok_mask = np.ones_like(ids, bool)
 
-        def _gdino(img_f32, hw):
+        def _gdino(p, img_f32, hw):
             s = args.gdino_image_size
             mean = jnp.asarray([123.675, 116.28, 103.53])
             std = jnp.asarray([58.395, 57.12, 57.375])
             x = jax.image.resize(img_f32, (s, s, 3), method="linear")
             x = ((x - mean) / std)[None]
             logits, boxes = gmodel.apply(
-                gparams, x, jnp.asarray(ids), jnp.asarray(tok_mask)
+                p, x, jnp.asarray(ids), jnp.asarray(tok_mask)
             )
             return best_box_for_prompt(logits, boxes, jnp.asarray([hw]))
 
-        gdino_infer = jax.jit(_gdino, static_argnums=())
+        # params as an argument, not a closure capture (relay 413 limit)
+        _gdino_jit = jax.jit(_gdino)
+        gdino_infer = lambda img_f32, hw: _gdino_jit(gparams, img_f32, hw)
 
     if args.checkpoint:
         from threedod.utils.convert_weights import convert_sam, load_torch_checkpoint
@@ -103,7 +105,11 @@ def main():
         dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
         params = model.init(jax.random.PRNGKey(0), dummy, jnp.zeros((1, 4)))["params"]
 
-    infer = jax.jit(lambda x, b: model.apply({"params": params}, x, b))
+    # params as an argument, not a closure capture: captured arrays embed
+    # as program constants and the weight-sized compile payload trips the
+    # relay's HTTP 413 body limit (CLAUDE.md relay gotchas)
+    _infer = jax.jit(lambda p, x, b: model.apply({"params": p}, x, b))
+    infer = lambda x, b: _infer(params, x, b)
 
     os.makedirs(args.out_dir, exist_ok=True)
     os.makedirs(os.path.dirname(args.no_ground_csv) or ".", exist_ok=True)

@@ -68,7 +68,9 @@ def main():
             model = Sam(img_size=args.img_size, dtype=jnp.bfloat16)
             dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
             params = model.init(jax.random.PRNGKey(0), dummy, jnp.zeros((1, 4)))["params"]
-        infer = jax.jit(lambda x, b: model.apply({"params": params}, x, b))
+        # params as an argument, not a closure capture (relay 413 limit)
+        _infer = jax.jit(lambda p, x, b: model.apply({"params": p}, x, b))
+        infer = lambda x, b: _infer(params, x, b)
 
     os.makedirs(args.out_dir, exist_ok=True)
     for im in data["images"]:

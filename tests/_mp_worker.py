@@ -74,18 +74,14 @@ step = trainer.make_train_step()
 # each process compiles at its own pace (minutes on CPU), but gloo's
 # key-value exchange for the first cross-process collective has a 30 s
 # timeout — both processes must *execute* near-simultaneously.
-compiled = step.lower(
-    state, sharded, jax.random.PRNGKey(1), jnp.asarray(np.inf, jnp.float32)
-).compile()
+compiled = step.lower(state, sharded, jax.random.PRNGKey(1)).compile()
 
 
 distributed.global_state.client.wait_at_barrier("compiled", 900_000)
 
-new_state, total, losses, metrics, diverging = compiled(
-    state, sharded, jax.random.PRNGKey(1), jnp.asarray(np.inf, jnp.float32)
-)
+new_state, out = compiled(state, sharded, jax.random.PRNGKey(1))
 jax.block_until_ready(new_state.params)
-total = float(jax.device_get(total))
+total = float(jax.device_get(out.total))
 assert np.isfinite(total), total
 
 # cross-process prediction gather (evaluation/inference.py:25-43)

@@ -153,11 +153,11 @@ class TestTraining:
         p_before = jax.device_get(state.params)
         # the step donates its state arg — feed it a copy so the shared
         # class fixture stays alive for later tests
-        new_state, total, losses, metrics, diverging = step(
+        new_state, out = step(
             jax.tree.map(jnp.array, state), shard_batch(batch, trainer.mesh),
-            jax.random.PRNGKey(0), jnp.asarray(np.inf, jnp.float32),
+            jax.random.PRNGKey(0),
         )
-        assert bool(diverging)
+        assert bool(out.diverging)
         p_after = jax.device_get(new_state.params)
         for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after)):
             np.testing.assert_array_equal(a, b)
@@ -265,12 +265,9 @@ class TestFlatOptimizer:
             )
             step = trainer.make_train_step()
             sb = shard_batch(batch, trainer.mesh)
-            rl = jnp.asarray(np.inf, jnp.float32)
             for i in range(2):
-                st, total, losses, metrics, diverging = step(
-                    st, sb, jax.random.PRNGKey(7 + i), rl
-                )
-                assert not bool(diverging)
+                st, out = step(st, sb, jax.random.PRNGKey(7 + i))
+                assert not bool(out.diverging)
             results[flat] = (jax.device_get(st.params), jax.device_get(st.batch_stats))
 
         for a, b in zip(

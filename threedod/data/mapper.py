@@ -46,6 +46,37 @@ class DatasetMapper3D:
         self.pixel_std = np.asarray(cfg.model.pixel_std, np.float32)
         self.format = cfg.input.format
         self.rng = rng or np.random.RandomState(cfg.seed)
+        # bounded decoded-image LRU. The repeat-factor sampler revisits
+        # images heavily (and fixture-scale datasets fit entirely), so
+        # caching the post-decode RGB removes the JPEG decode — the
+        # dominant per-sample host cost on this single-core loader host.
+        # Budget in MB via THREEDOD_DECODE_CACHE_MB (0 disables).
+        self._cache_budget = (
+            int(os.environ.get("THREEDOD_DECODE_CACHE_MB", "512")) * 1_000_000
+        )
+        self._cache: "dict[str, np.ndarray]" = {}
+        self._cache_bytes = 0
+
+    def _decode(self, path: str, size_key=None) -> np.ndarray:
+        key = path if size_key is None else (path, size_key)
+        rgb = self._cache.get(key)
+        if rgb is not None:
+            return rgb
+        rgb = imread_rgb(path)
+        if size_key is not None:
+            rgb = np.asarray(Image.fromarray(rgb).resize(size_key, Image.BILINEAR))
+        if self._cache_budget:
+            self._cache_bytes += rgb.nbytes
+            self._cache[key] = rgb
+            while self._cache_bytes > self._cache_budget and self._cache:
+                # dicts iterate in insertion order: evict oldest-inserted.
+                # Loader threads share this mapper; GIL-atomic dict ops make
+                # races benign, but guard the pop against a concurrent evict.
+                old = next(iter(self._cache))
+                dropped = self._cache.pop(old, None)
+                if dropped is not None:
+                    self._cache_bytes -= dropped.nbytes
+        return rgb
 
     # -- geometry of the resize ------------------------------------------
     def _scale_for(self, h: int, w: int) -> float:
@@ -60,12 +91,24 @@ class DatasetMapper3D:
         return scale
 
     def __call__(self, record: dict) -> dict:
-        rgb = imread_rgb(record["file_name"])  # native JPEG path when built
-        h0, w0 = rgb.shape[:2]
-        scale = self._scale_for(h0, w0)
-        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
-        img = Image.fromarray(rgb).resize((nw, nh), Image.BILINEAR)
-        image = np.asarray(img, np.float32)
+        # resize stays in uint8 end-to-end: PIL's uint8 bilinear is a C
+        # kernel with per-pixel rounding, and skipping the float32
+        # round-trip saves two full-image passes per sample — material on
+        # the single-core loader host (round-4 training-throughput work).
+        # When the record carries height/width (Omni3D always does), the
+        # RESIZED image is the cache unit: only len(min_size_train) distinct
+        # sizes exist per image, so repeat visits skip decode AND resize.
+        h0, w0 = record.get("height"), record.get("width")
+        if h0 is None or w0 is None:
+            rgb = self._decode(record["file_name"])  # native JPEG when built
+            h0, w0 = rgb.shape[:2]
+            scale = self._scale_for(h0, w0)
+            nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+            image = np.asarray(Image.fromarray(rgb).resize((nw, nh), Image.BILINEAR))
+        else:
+            scale = self._scale_for(h0, w0)
+            nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+            image = self._decode(record["file_name"], size_key=(nw, nh))
         if self.format == "BGR":
             image = image[:, :, ::-1]
 
@@ -77,7 +120,7 @@ class DatasetMapper3D:
         # traffic — significant over a relay and on DCN); meta-archs apply
         # (x - pixel_mean) / pixel_std on device
         canvas = np.zeros((self.canvas_h, self.canvas_w, 3), np.uint8)
-        canvas[:nh, :nw] = np.clip(image, 0, 255).astype(np.uint8)
+        canvas[:nh, :nw] = image
 
         sample = {
             "image": canvas,

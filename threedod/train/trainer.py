@@ -16,6 +16,16 @@ TPU re-design: one jitted train_step over a batch sharded on a 1-D
 (ICI all-reduce inserted by XLA); the divergence flag zeroes the gradient
 inside the step, so skipped iterations cost one compiled step, not a
 recompile.
+
+Asynchronous host loop (round 4): the stabilizer's rolling mean lives IN
+the train state (`TrainState.stab`, NaN = uninitialised), so the host never
+has to read a scalar back to decide the next step. `fit` dispatches steps
+without any per-iteration `jax.device_get`; each step returns one packed
+f32 vector of every scalar, and the host drains the buffered vectors with a
+single stacked transfer at window/checkpoint/eval boundaries. Over the TPU
+relay this removes a full host<->device round-trip per iteration and lets
+the (single-core) host data pipeline overlap with device execution —
+measured 7.8-9.2 it/s -> device-bound with the same step program.
 """
 from __future__ import annotations
 
@@ -58,6 +68,28 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # stabilizer rolling loss mean (reference train_net.py:209-254
+    # `recent_loss`); device-resident so the divergence decision never
+    # requires a host read-back. NaN = "not yet initialised" (the reference's
+    # `recent_loss is None`).
+    stab: jnp.ndarray
+
+
+@struct.dataclass
+class StepOut:
+    """Per-step scalars. `packed` carries every scalar in one f32 vector
+    ([total, diverging, rolling, *losses(sorted), *metrics(sorted)]) so an
+    async host loop needs exactly one small transfer per drained window;
+    the individual fields exist for direct callers (profilers, tests)."""
+    total: jnp.ndarray
+    losses: Any
+    metrics: Any
+    diverging: jnp.ndarray
+    packed: jnp.ndarray
+
+
+def init_stab() -> jnp.ndarray:
+    return jnp.asarray(np.nan, jnp.float32)
 
 
 class Trainer:
@@ -68,6 +100,9 @@ class Trainer:
         self.optimizer, self.schedule = None, None
         self.flat_opt = False
         self._train_step = None
+        # (loss_keys, metric_keys) captured at first trace of the step; fixes
+        # the layout of StepOut.packed for the async drain in fit().
+        self._scalar_keys = None
 
     # ------------------------------------------------------------------
     def ensure_optimizer(self, params):
@@ -103,19 +138,32 @@ class Trainer:
             opt_state = self.optimizer.init(params)
         state = TrainState(
             params=params, batch_stats=batch_stats, opt_state=opt_state,
-            step=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32), stab=init_stab(),
         )
         # replicate over the mesh (communication-free — see replicate_local)
         return replicate_local(state, self.mesh)
 
     # ------------------------------------------------------------------
     def make_train_step(self) -> Callable:
+        """Jitted `step(state, batch, base_key) -> (new_state, StepOut)`.
+
+        The per-iteration RNG is derived in-jit as fold_in(base_key,
+        state.step), so the host passes the SAME base key array every call
+        (no per-iteration key split / transfer). The stabilizer decision and
+        its rolling-mean update both run in-jit from state.stab."""
         model = self.model
         optimizer = self.optimizer
         flat_opt = self.flat_opt
         freeze_bn = self.cfg.model.freeze_bn or not self.cfg.model.use_bn
+        # static python bool: gates *bookkeeping* (rolling mean + explode
+        # accounting), exactly like the reference's host-side
+        # `diverging and stabilize > 0`. The parameter-update guard below
+        # uses the raw flag regardless (unchanged from round 3).
+        stab_on = self.cfg.model.stabilize > 0
 
-        def train_step(state: TrainState, batch, key, rolling_loss):
+        def train_step(state: TrainState, batch, base_key):
+            key = jax.random.fold_in(base_key, state.step)
+
             def loss_fn(params):
                 out, mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
@@ -139,8 +187,22 @@ class Trainer:
                 grads_finite = jnp.all(
                     jnp.asarray([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
                 )
-            loss_ok = jnp.isfinite(total) & (total <= rolling_loss * TOLERANCE)
+            rolling = state.stab
+            uninit = jnp.isnan(rolling)
+            roll_eff = jnp.where(uninit, jnp.inf, rolling)
+            loss_ok = jnp.isfinite(total) & (total <= roll_eff * TOLERANCE)
             diverging = ~(grads_finite & loss_ok)
+
+            # rolling-mean update (reference train_net.py:227-236 ordering:
+            # first-iteration init to 2*total happens BEFORE the EMA, so the
+            # first successful step applies both)
+            book_div = diverging if stab_on else jnp.zeros((), bool)
+            base = jnp.where(
+                uninit,
+                jnp.where(jnp.isfinite(total), total * 2.0, 1e6),
+                rolling,
+            )
+            new_stab = jnp.where(book_div, base, base * (1 - GAMMA) + total * GAMMA)
 
             # on divergence the whole optimizer step is skipped (parameters,
             # momentum and weight decay all stay put — reference semantics of
@@ -178,9 +240,22 @@ class Trainer:
                 )
             new_state = TrainState(
                 params=new_params, batch_stats=new_bs, opt_state=new_opt,
-                step=state.step + 1,
+                step=state.step + 1, stab=new_stab,
             )
-            return new_state, total, losses, metrics, diverging
+            lkeys, mkeys = sorted(losses), sorted(metrics)
+            self._scalar_keys = (tuple(lkeys), tuple(mkeys))
+            packed = jnp.stack(
+                [total.astype(jnp.float32),
+                 book_div.astype(jnp.float32),
+                 new_stab]
+                + [losses[k].astype(jnp.float32) for k in lkeys]
+                + [metrics[k].astype(jnp.float32) for k in mkeys]
+            )
+            out = StepOut(
+                total=total, losses=losses, metrics=metrics,
+                diverging=diverging, packed=packed,
+            )
+            return new_state, out
 
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -194,7 +269,13 @@ class Trainer:
         storage: Optional[EventStorage] = None,
     ):
         """One training attempt. Returns (state, True) on success or
-        (state, False) when the stabilizer demands a restart."""
+        (state, False) when the stabilizer demands a restart.
+
+        The loop is asynchronous: steps are dispatched back-to-back with no
+        per-iteration device read; scalar vectors are buffered and drained
+        (one stacked device_get) every `storage.window` iterations and at
+        checkpoint / eval / retry boundaries. Wall-time attribution
+        (loader wait, dispatch, drain) is logged as perf/* scalars."""
         cfg = self.cfg
         max_iter = cfg.solver.max_iter
         if self._train_step is None:
@@ -202,84 +283,117 @@ class Trainer:
         storage = storage or EventStorage(cfg.output_dir)
         ckpt = CheckpointManager(cfg.output_dir, cfg.solver.checkpoint_period, max_iter)
 
-        recent_loss = None
+        # a fresh attempt restarts the rolling mean (reference: recent_loss
+        # is a local of do_train, reset on every retry)
+        state = state.replace(stab=init_stab())
         iterations_success = 0
         iterations_explode = 0
-        key = jax.random.PRNGKey(cfg.seed)
+        base_key = jax.random.PRNGKey(cfg.seed)
+
+        t_loader = t_dispatch = t_drain = 0.0
+        pending: list = []  # [(iteration, packed_device_vec)]
+
+        def drain():
+            """One stacked transfer for all buffered scalars; returns the
+            list of (iteration, vec) rows as host numpy."""
+            nonlocal t_loader, t_dispatch, t_drain, iterations_success, iterations_explode
+            if not pending:
+                return True
+            t0 = time.perf_counter()
+            vals = np.asarray(jax.device_get(jnp.stack([p for _, p in pending])))
+            t_drain += time.perf_counter() - t0
+            lkeys, mkeys = self._scalar_keys
+            rows = [(it, v) for (it, _), v in zip(pending, vals)]
+            pending.clear()
+            for it, v in rows:
+                total, book_div = float(v[0]), bool(v[1] > 0.5)
+                if book_div:
+                    iterations_explode += 1
+                    logger.warning(
+                        "Skipping gradient update: loss %.2f vs rolling mean %.2f",
+                        total, float(v[2]),
+                    )
+                else:
+                    iterations_success += 1
+                storage.iter = it
+                scalars = {"total_loss": total, "lr": host_lr(cfg.solver, it)}
+                scalars.update(
+                    {k: float(x) for k, x in zip(lkeys, v[3 : 3 + len(lkeys)])}
+                )
+                scalars.update(
+                    {k: float(x) for k, x in zip(mkeys, v[3 + len(lkeys) :])}
+                )
+                storage.put_scalars(**scalars)
+                if (it + 1) % storage.window == 0 or it == max_iter - 1:
+                    storage.put_scalars(**{
+                        "perf/loader_wait_s": t_loader,
+                        "perf/dispatch_s": t_dispatch,
+                        "perf/drain_s": t_drain,
+                    })
+                    t_loader = t_dispatch = t_drain = 0.0
+                    storage.flush(max_iter)
+            # last drained row's divergence flag decides checkpoint/eval
+            # eligibility for the boundary iteration
+            return not bool(rows[-1][1][1] > 0.5)
 
         data_iter = iter(train_loader)
         iteration = start_iter
         while iteration < max_iter:
-            batch = shard_batch(next(data_iter), self.mesh)
-            key, step_key = jax.random.split(key)
-            rolling = np.inf if recent_loss is None else recent_loss
-            state, total, losses, metrics, diverging = self._train_step(
-                state, batch, step_key, np.float32(rolling)
-            )
-            # ONE device->host transfer for all scalars (each individual
-            # float() would be a separate round-trip — ruinous over a relay)
-            total, losses, metrics, diverging = jax.device_get(
-                (total, losses, metrics, diverging)
-            )
-            total = float(total)
-            diverging = bool(diverging) and cfg.model.stabilize > 0
+            t0 = time.perf_counter()
+            batch = next(data_iter)
+            t_loader += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            batch = shard_batch(batch, self.mesh)
+            state, out = self._train_step(state, batch, base_key)
+            pending.append((iteration, out.packed))
+            t_dispatch += time.perf_counter() - t0
 
-            if recent_loss is None:
-                recent_loss = total * 2.0 if np.isfinite(total) else 1e6
-            if diverging:
-                iterations_explode += 1
-                logger.warning(
-                    "Skipping gradient update: loss %.2f vs rolling mean %.2f",
-                    total, recent_loss,
-                )
-            else:
-                recent_loss = recent_loss * (1 - GAMMA) + total * GAMMA
-                iterations_success += 1
-
-            storage.iter = iteration
-            scalars = {"total_loss": total, "lr": host_lr(self.cfg.solver, iteration)}
-            scalars.update({k: float(v) for k, v in losses.items()})
-            scalars.update({k: float(v) for k, v in metrics.items()})
-            storage.put_scalars(**scalars)
-
-            total_iters = iterations_success + iterations_explode
-            retry = (
-                cfg.model.stabilize > 0
-                and (iterations_explode / max(total_iters, 1)) >= cfg.model.stabilize
-                and total_iters > cfg.solver.checkpoint_period * 0.5
-            )
-            if retry:
-                logger.warning(
-                    "!! Restarting training at %d iters. Exploding loss %d%% of iters !!",
-                    iteration, int(100 * iterations_explode / total_iters),
-                )
-                return state, False
-
-            if (
+            nxt = iteration + 1
+            eval_due = (
                 eval_fn is not None
-                and not diverging
                 and cfg.test.eval_period > 0
-                and (iteration + 1) % cfg.test.eval_period == 0
+                and nxt % cfg.test.eval_period == 0
                 and iteration != max_iter - 1
-            ):
-                eval_fn(state, iteration + 1, storage)
+            )
+            ckpt_due = nxt % ckpt.period == 0 or iteration >= max_iter - 1
+            boundary = (
+                nxt % storage.window == 0
+                or iteration == max_iter - 1
+                or eval_due
+                or ckpt_due
+            )
+            if boundary:
+                last_ok = drain()
 
-            if (iteration + 1) % storage.window == 0 or iteration == max_iter - 1:
-                storage.flush(max_iter)
+                total_iters = iterations_success + iterations_explode
+                retry = (
+                    cfg.model.stabilize > 0
+                    and (iterations_explode / max(total_iters, 1)) >= cfg.model.stabilize
+                    and total_iters > cfg.solver.checkpoint_period * 0.5
+                )
+                if retry:
+                    logger.warning(
+                        "!! Restarting training at %d iters. Exploding loss %d%% of iters !!",
+                        iteration, int(100 * iterations_explode / total_iters),
+                    )
+                    return state, False
 
-            # suppress checkpoints while potentially diverging. The state is
-            # only pulled to host when a checkpoint is actually due — a
-            # device_get of the full train state every iteration would move
-            # hundreds of MB per step.
-            if not diverging and (
-                iterations_explode / max(total_iters, 1) < 0.5 * cfg.model.stabilize
-                or cfg.model.stabilize <= 0
-            ):
-                if (iteration + 1) % ckpt.period == 0 or iteration >= max_iter - 1:
+                if eval_due and last_ok:
+                    eval_fn(state, nxt, storage)
+
+                # suppress checkpoints while potentially diverging. The
+                # state is only pulled to host when a checkpoint is actually
+                # due — a device_get of the full train state every iteration
+                # would move hundreds of MB per step.
+                if ckpt_due and last_ok and (
+                    iterations_explode / max(total_iters, 1) < 0.5 * cfg.model.stabilize
+                    or cfg.model.stabilize <= 0
+                ):
                     ckpt.step(iteration, {"state": jax.device_get(state), "iteration": iteration})
 
             iteration += 1
 
+        drain()
         return state, True
 
 

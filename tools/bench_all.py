@@ -282,7 +282,6 @@ def bench_train(weak: bool):
     trainer = Trainer(cfg, model)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     step = trainer.make_train_step()
-    rl = jnp.asarray(np.inf, jnp.float32)
 
     # train step donates state: chain it through the loop
     holder = {"state": state}
@@ -291,7 +290,8 @@ def bench_train(weak: bool):
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float32)
         for i in range(k):
-            new_state, total, *_ = step(holder["state"], batch, jax.random.PRNGKey(i), rl)
+            new_state, _out = step(holder["state"], batch, jax.random.PRNGKey(i))
+            total = _out.total
             holder["state"] = new_state
             s = s + total.astype(jnp.float32)
         jax.device_get(s)

@@ -77,9 +77,9 @@ def main():
     def run_full(k):
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float32)
-        rl = jnp.asarray(np.inf, jnp.float32)
         for i in range(k):
-            new_state, total, *_ = step(holder["state"], batch, jax.random.PRNGKey(i), rl)
+            new_state, _out = step(holder["state"], batch, jax.random.PRNGKey(i))
+            total = _out.total
             holder["state"] = new_state
             s = s + total.astype(jnp.float32)
         jax.device_get(s)

@@ -55,10 +55,10 @@ def main():
 
     if args.mode == "train":
         step = trainer.make_train_step()
-        rl = jnp.asarray(np.inf, jnp.float32)
 
         def one(st, i):
-            st, total, losses, metrics, div = step(st, sharded, jax.random.PRNGKey(i), rl)
+            st, _out = step(st, sharded, jax.random.PRNGKey(i))
+            total = _out.total
             return st, total
     else:
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -45,14 +45,14 @@ def time_step(losses_subset, batch_np, w3d, short, long):
     trainer = Trainer(cfg, model)
     state = trainer.init_state(jax.random.PRNGKey(0), batch_np)
     step = trainer.make_train_step()
-    rl = jnp.asarray(np.inf, jnp.float32)
     holder = {"state": state}
 
     def run(k):
         t0 = time.perf_counter()
         s = jnp.zeros((), jnp.float32)
         for i in range(k):
-            new_state, total, *_ = step(holder["state"], batch_np, jax.random.PRNGKey(i), rl)
+            new_state, _out = step(holder["state"], batch_np, jax.random.PRNGKey(i))
+            total = _out.total
             holder["state"] = new_state
             s = s + total.astype(jnp.float32)
         jax.device_get(s)

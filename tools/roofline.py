@@ -202,8 +202,7 @@ def main():
             trainer = Trainer(tcfg, tmodel)
             state = trainer.init_state(jax.random.PRNGKey(0), tb)
             step = trainer.make_train_step()
-            rl = jnp.asarray(np.inf, jnp.float32)
-            c = step.lower(state, tb, jax.random.PRNGKey(0), rl).compile().cost_analysis()
+            c = step.lower(state, tb, jax.random.PRNGKey(0)).compile().cost_analysis()
             if isinstance(c, list):
                 c = c[0]
             fl, by = float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
@@ -214,9 +213,8 @@ def main():
                 t0 = time.perf_counter()
                 s = jnp.zeros((), jnp.float32)
                 for i in range(k):
-                    new_state, total, *_ = step(
-                        holder["state"], tb, jax.random.PRNGKey(i), rl
-                    )
+                    new_state, _out = step(holder["state"], tb, jax.random.PRNGKey(i))
+                    total = _out.total
                     holder["state"] = new_state
                     s = s + total.astype(jnp.float32)
                 jax.device_get(s)

@@ -247,11 +247,11 @@ def main():
         trainer = Trainer(cfg, model)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         step = trainer.make_train_step()
-        rl = jnp.asarray(np.inf, jnp.float32)
         holder = {"state": state}
 
         def one(i):
-            new_state, total, *_ = step(holder["state"], batch, jax.random.PRNGKey(i), rl)
+            new_state, _out = step(holder["state"], batch, jax.random.PRNGKey(i))
+            total = _out.total
             holder["state"] = new_state
             return total
     else:

@@ -223,7 +223,10 @@ def overwrite_pred_z_dir(pred_dir: str, gt_dir: str, iou_thresh: float = 0.7) ->
         with open(full) as f:
             dt_lines = f.readlines()
         out = overwrite_pred_z(dt_lines, gt_lines, iou_thresh)
-        if out != dt_lines:
+        # compare whitespace-normalized: overwrite_pred_z rebuilds every
+        # line with split/join, so raw-string comparison would count files
+        # whose formatting merely differs as "rewritten" (ADVICE r3)
+        if [l.split() for l in out] != [l.split() for l in dt_lines]:
             with open(full, "w") as f:
                 f.writelines(out)
             n += 1

@@ -26,7 +26,10 @@ def ensure_native_built(timeout: int = 300) -> bool:
         return False
     marker = os.path.join(_REPO, "native", ".autobuild_attempted")
     if os.path.exists(marker):
-        return False
+        # same contract as the under-lock path: the marker records the
+        # build's exit status, so "a build already succeeded" reads as True
+        with open(marker) as f:
+            return f.read().strip() == "0"
     try:
         import fcntl
 

@@ -56,6 +56,18 @@ class TestSam:
         )
         assert np.abs(np.asarray(m[0]) - np.asarray(m[1])).max() > 1e-4
 
+    def test_vit_tiny_encoder(self):
+        """Sam(encoder_type='vit_tiny'): TinyViT wiring end-to-end, plain
+        and HQ (Light HQ-SAM reconstruction: vit_dim=160, stage-2 tap)."""
+        x = jnp.asarray(np.random.RandomState(2).randn(1, 128, 128, 3).astype(np.float32))
+        boxes = jnp.asarray([[10.0, 10.0, 100.0, 100.0]])
+        for hq in (False, True):
+            model = Sam(img_size=128, encoder_type="vit_tiny", hq=hq)
+            variables = model.init(jax.random.PRNGKey(3), x, boxes)
+            masks = model.apply(variables, x, boxes)
+            assert masks.shape == (1, 32, 32)
+            assert np.isfinite(np.asarray(masks)).all()
+
     def test_preprocess(self):
         img = jnp.asarray(np.random.rand(300, 400, 3).astype(np.float32) * 255)
         x, scale = preprocess_sam_image(img, 256)

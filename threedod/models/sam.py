@@ -466,19 +466,32 @@ class Sam(nn.Module):
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     img_size: int = 1024
     hq: bool = False
+    # "vit" = ImageEncoderViT (vit_b geometry by default); "vit_tiny" =
+    # the TinyViT-5M encoder of the reference's fallback checkpoint
+    # sam_hq_vit_tiny.pth (generate_ground_segmentations.py:14-18)
+    encoder_type: str = "vit"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size, dim=self.encoder_dim, depth=self.encoder_depth,
-            num_heads=self.encoder_heads, global_attn_indexes=self.global_attn_indexes,
-            dtype=self.dtype,
-        )
+        if self.encoder_type == "vit_tiny":
+            from .tinyvit import TinyViT
+
+            self.image_encoder = TinyViT(img_size=self.img_size, dtype=self.dtype)
+        else:
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.img_size, dim=self.encoder_dim, depth=self.encoder_depth,
+                num_heads=self.encoder_heads, global_attn_indexes=self.global_attn_indexes,
+                dtype=self.dtype,
+            )
         grid = self.img_size // 16
         self.prompt_encoder = PromptEncoder(
             image_embedding_size=(grid, grid), input_image_size=(self.img_size, self.img_size)
         )
-        self.mask_decoder = MaskDecoder(hq=self.hq, vit_dim=self.encoder_dim)
+        # HQ early/final fusion dimension: the ViT hidden dim, or TinyViT's
+        # stage-2 width (160) — the Light HQ-SAM tap (reconstructed; see
+        # models/tinyvit.py docstring)
+        vit_dim = 160 if self.encoder_type == "vit_tiny" else self.encoder_dim
+        self.mask_decoder = MaskDecoder(hq=self.hq, vit_dim=vit_dim)
 
     def encode_image(self, x):
         """Returns the (1, h, w, 256) embedding; in HQ mode a tuple of

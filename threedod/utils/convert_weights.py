@@ -117,6 +117,65 @@ def convert_depth_anything_v2(state_dict: Dict, encoder: str = "vits") -> Dict:
     }
 
 
+def _fold_conv_bn(sd, prefix, eps=1e-5):
+    """Conv2d_BN (conv 'c' + BatchNorm 'bn') -> biased flax conv params."""
+    w = _t(sd[f"{prefix}.c.weight"])                 # (O, I/g, kh, kw)
+    g = _t(sd[f"{prefix}.bn.weight"])
+    b = _t(sd[f"{prefix}.bn.bias"])
+    mean = _t(sd[f"{prefix}.bn.running_mean"])
+    var = _t(sd[f"{prefix}.bn.running_var"])
+    scale = g / np.sqrt(var + eps)
+    return {
+        "conv": {
+            "kernel": w.transpose(2, 3, 1, 0) * scale,
+            "bias": b - mean * scale,
+        }
+    }
+
+
+def convert_tinyvit(state_dict: Dict, depths=(2, 2, 6, 2), prefix: str = "image_encoder.") -> Dict:
+    """sam_hq_vit_tiny.pth image-encoder layout (MobileSAM TinyViT-5M,
+    the reference's `vit_tiny` fallback —
+    generate_ground_segmentations.py:14-18) -> flax params for
+    threedod.models.tinyvit.TinyViT. Conv2d_BN pairs fold into biased
+    convs (inference-only encoder)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    out: Dict = {
+        "patch_conv1": _fold_conv_bn(sd, "patch_embed.seq.0"),
+        "patch_conv2": _fold_conv_bn(sd, "patch_embed.seq.2"),
+        "neck_conv1": {"kernel": _t(sd["neck.0.weight"]).transpose(2, 3, 1, 0)},
+        "neck_ln1": {"weight": _t(sd["neck.1.weight"]), "bias": _t(sd["neck.1.bias"])},
+        "neck_conv2": {"kernel": _t(sd["neck.2.weight"]).transpose(2, 3, 1, 0)},
+        "neck_ln2": {"weight": _t(sd["neck.3.weight"]), "bias": _t(sd["neck.3.bias"])},
+    }
+    for j in range(depths[0]):
+        out[f"layer0_block{j}"] = {
+            c: _fold_conv_bn(sd, f"layers.0.blocks.{j}.{c}")
+            for c in ("conv1", "conv2", "conv3")
+        }
+    for i in (0, 1, 2):
+        out[f"merge{i}"] = {
+            c: _fold_conv_bn(sd, f"layers.{i}.downsample.{c}")
+            for c in ("conv1", "conv2", "conv3")
+        }
+    for i in (1, 2, 3):
+        for j in range(depths[i]):
+            b = f"layers.{i}.blocks.{j}"
+            out[f"layer{i}_block{j}"] = {
+                "attn": {
+                    "norm": layernorm(sd, f"{b}.attn.norm"),
+                    "qkv": linear(sd, f"{b}.attn.qkv"),
+                    "proj": linear(sd, f"{b}.attn.proj"),
+                    "attention_biases": _t(sd[f"{b}.attn.attention_biases"]),
+                },
+                "local_conv": _fold_conv_bn(sd, f"{b}.local_conv"),
+                "mlp_norm": layernorm(sd, f"{b}.mlp.norm"),
+                "mlp_fc1": linear(sd, f"{b}.mlp.fc1"),
+                "mlp_fc2": linear(sd, f"{b}.mlp.fc2"),
+            }
+    return out
+
+
 def convert_sam(state_dict: Dict, depth: int = 12, hq: bool = None) -> Dict:
     """Official SAM checkpoint (sam_vit_b_01ec64.pth layout) -> flax params
     for threedod.models.sam.Sam. Also converts SAM-HQ checkpoints

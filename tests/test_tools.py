@@ -98,6 +98,64 @@ class TestTrainNetCLI:
         assert (outdir / "metrics.json").exists()
 
 
+class TestZooWeightsDrill:
+    def test_eval_only_from_zoo_pth(self, tiny_env, tmp_path):
+        """The one-command real-weights drill (docs/MODEL_ZOO.md): a
+        reference-layout model_final.pth + `--eval-only
+        model.weights=<pth>` must convert-on-load and produce an AP table
+        — end-to-end through the CLI, using the converter-gate's fake
+        checkpoint so nothing depends on real downloads."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import numpy as np
+
+        from _fake_zoo import build_fake_sd
+        from threedod.config import load_config
+        from threedod.data.batch import Batch
+        from threedod.models import build_model
+
+        cfg_path = tmp_path / "tiny_dla.yaml"
+        outdir = tmp_path / "out_zoo"
+        write_tiny_cfg(cfg_path, tiny_env, outdir)
+        cfg_path.write_text(
+            cfg_path.read_text().replace("backbone: shufflenet", "backbone: dla34")
+        )
+
+        # shape a fake reference checkpoint from the same config's template
+        cfg = load_config(str(cfg_path), [])
+        cfg.model.dtype = "float32"
+        model = build_model(cfg)
+        import jax.numpy as jnp
+
+        h, w = cfg.shapes.canvas_height, cfg.shapes.canvas_width
+        K = np.tile(np.array([[[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]]], np.float32), (1, 1, 1))
+        batch = Batch(
+            image=jnp.zeros((1, h, w, 3)),
+            image_hw=jnp.asarray([[h, w]], jnp.int32),
+            K=jnp.asarray(K),
+            im_scale_ratio=jnp.ones((1,)),
+            image_id=jnp.zeros((1,), jnp.int32),
+        )
+        variables = jax.jit(lambda b: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, b, train=False
+        ))(batch)
+        sd = build_fake_sd(variables["params"], np.random.RandomState(3))
+        pth = tmp_path / "model_final.pth"
+        torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, str(pth))
+
+        r = run_tool(
+            [os.path.join(REPO, "tools/train_net.py"), "--config-file", str(cfg_path),
+             "--eval-only", "datasets.root", str(tiny_env),
+             f"model.weights={pth}"],
+            cwd=str(tiny_env),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "loaded eval weights" in r.stderr or "loaded eval weights" in r.stdout
+        results = json.loads((outdir / "results.json").read_text())
+        vals = results["synth_test"]
+        assert np.isfinite(vals["AP2D"]) and np.isfinite(vals["AP3D"])
+
+
 class TestEvalBoxesCLI:
     def test_mabo(self, tiny_env, tmp_path):
         cfg = tmp_path / "tiny_boxnet.yaml"

@@ -202,6 +202,25 @@ def main():
             state = jax.device_put(restored["state"])
             start_iter = int(restored["iteration"]) + 1
             logger.info("resumed from iteration %d", start_iter)
+        elif cfg.model.weights:
+            # no output-dir checkpoint: load MODEL.WEIGHTS — the reference's
+            # DetectionCheckpointer.resume_or_load(cfg.MODEL.WEIGHTS)
+            # (train_net.py:400-406). Accepts zoo .pth (converted through
+            # convert_cubercnn_rcnn3d) or an orbax dir; this is the
+            # one-command real-weights drill: point model.weights at
+            # model_final.pth and run --eval-only (docs/MODEL_ZOO.md).
+            from threedod.utils.model_zoo import load_model_weights
+
+            loaded = load_model_weights(
+                cfg.model.weights,
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+            )
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, loaded["params"]),
+                batch_stats=jax.tree.map(jnp.asarray, loaded.get("batch_stats", {})),
+            )
+            logger.info("loaded eval weights from %s", cfg.model.weights)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.eval_only:

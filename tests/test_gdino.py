@@ -49,7 +49,10 @@ def naive_deform_sample(value, shapes, locs, weights):
 
 
 class TestDeformable:
-    def test_sample_matches_naive(self):
+    @pytest.mark.parametrize("impl", ["gather", "matmul"])
+    def test_sample_matches_naive(self, impl):
+        from threedod.models.gdino import deformable as dfm
+
         rng = np.random.RandomState(0)
         shapes = [(6, 8), (3, 4)]
         S = sum(h * w for h, w in shapes)
@@ -57,7 +60,49 @@ class TestDeformable:
         value = rng.randn(B, S, H, D).astype(np.float32)
         locs = rng.uniform(-0.1, 1.1, (B, Lq, H, len(shapes), P, 2)).astype(np.float32)
         w = rng.rand(B, Lq, H, len(shapes), P).astype(np.float32)
-        got = ms_deform_sample(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w))
+        fn = dfm.ms_deform_sample_gather if impl == "gather" else dfm.ms_deform_sample_matmul
+        got = fn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w))
+        want = naive_deform_sample(value, shapes, locs, w)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_pallas_matches_naive_interpret(self):
+        """Fused Pallas backend (interpret mode on CPU) vs the python
+        reference, odd Lq (padding) and OOB locations included."""
+        from threedod.models.gdino import deformable as dfm
+
+        rng = np.random.RandomState(2)
+        shapes = [(6, 8), (3, 4)]
+        S = sum(h * w for h, w in shapes)
+        B, H, D, Lq, P = 2, 2, 4, 5, 3
+        value = rng.randn(B, S, H, D).astype(np.float32)
+        locs = rng.uniform(-0.1, 1.1, (B, Lq, H, len(shapes), P, 2)).astype(np.float32)
+        w = rng.rand(B, Lq, H, len(shapes), P).astype(np.float32)
+        got = dfm.ms_deform_sample_pallas(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w),
+            chunk=3, interpret=True,
+        )
+        want = naive_deform_sample(value, shapes, locs, w)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_matmul_chunking_pads(self):
+        """Lq not a multiple of the chunk (and > chunk) round-trips."""
+        from threedod.models.gdino import deformable as dfm
+
+        rng = np.random.RandomState(1)
+        shapes = [(5, 7)]
+        S = 35
+        B, H, D, Lq, P = 1, 2, 4, 7, 2
+        value = rng.randn(B, S, H, D).astype(np.float32)
+        locs = rng.uniform(0, 1, (B, Lq, H, 1, P, 2)).astype(np.float32)
+        w = rng.rand(B, Lq, H, 1, P).astype(np.float32)
+        old = dfm.SAMPLE_CHUNK
+        try:
+            dfm.SAMPLE_CHUNK = 3  # forces n_chunks=3, pad=2
+            got = dfm.ms_deform_sample_matmul(
+                jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w)
+            )
+        finally:
+            dfm.SAMPLE_CHUNK = old
         want = naive_deform_sample(value, shapes, locs, w)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 

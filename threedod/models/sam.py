@@ -60,8 +60,21 @@ def _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
     r_q = q.reshape(b, qh, qw, dim)
     rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
     rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
-    attn = attn.reshape(b, qh, qw, kh, kw) + rel_h[..., :, None] + rel_w[..., None, :]
-    return attn.reshape(b, qh * qw, kh * kw)
+    # expand each (b, q, kh)/(b, q, kw) bias to the full lane-dense
+    # (b, q, kh*kw) key axis with exact one-nonzero-per-column iota
+    # selector matmuls instead of the 5D broadcast-add
+    # (attn.reshape(b,qh,qw,kh,kw) + rel_h[...,None] + rel_w[...,None,:]):
+    # that 5D form measured 16.3 ms per 4096-token global block on v5e —
+    # 65 ms of the 85 ms SAM encoder (tools/profile_sam_enc.py, round 4)
+    kk = jnp.arange(kh * kw)
+    eh = (jnp.arange(kh)[:, None] == kk // kw).astype(attn.dtype)
+    ew = (jnp.arange(kw)[:, None] == kk % kw).astype(attn.dtype)
+    bias = jnp.einsum(
+        "bqh,hk->bqk", rel_h.reshape(b, qh * qw, kh).astype(attn.dtype), eh
+    ) + jnp.einsum(
+        "bqw,wk->bqk", rel_w.reshape(b, qh * qw, kw).astype(attn.dtype), ew
+    )
+    return attn + bias
 
 
 class SamAttention(nn.Module):

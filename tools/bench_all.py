@@ -42,7 +42,9 @@ def timed(run_k, short=5, long=25):
     return (d_long - d_short) / (long - short)
 
 
-def make_image_batch(rng, b=BATCH, h=H, w=W):
+def make_image_batch(rng, b=None, h=H, w=W):
+    if b is None:
+        b = BATCH  # read at call time so --batch overrides take effect
     from threedod.data.batch import Batch
 
     K = np.tile(
@@ -308,7 +310,14 @@ def main():
         "--only", default="",
         help="comma list of row names, e.g. dla34_infer_512px_bs8,gdino_sam_asset_step"
     )
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="override the detection batch size (default 8) — used by the round-4 batch-scaling study",
+    )
     args = ap.parse_args()
+    if args.batch:
+        global BATCH
+        BATCH = args.batch
 
     rows = {}
     want = set(args.only.split(",")) if args.only else None

@@ -137,3 +137,43 @@ class TestIoU3D:
         c = cuboid_verts(jnp.asarray([0.0, 0, 0, 1, 1, 1]))
         _, iou = iou3d_pairs(flat[None], c[None])
         np.testing.assert_allclose(float(iou[0]), 0.0, atol=1e-6)
+
+
+class TestLanesParity:
+    def test_lanes_matches_per_pair_vmap(self):
+        """The batch-minor (SoA) implementation must reproduce the per-pair
+        vmapped clip exactly (same taps, same stable compaction order) on
+        random rotated pairs, including reflected bases and disjoint
+        boxes."""
+        import jax
+
+        from threedod.geometry.cuboids import cuboid_verts
+        from threedod.geometry.iou3d import (
+            _pair_intersect_volume,
+            _pairs_intersect_volume_lanes,
+        )
+
+        rng = np.random.RandomState(11)
+        n = 64
+        def rot(a, b, c):
+            Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+            Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+            Rx = np.array([[1, 0, 0], [0, np.cos(c), -np.sin(c)], [0, 0, 1]])
+            Rx[2, 1:] = [np.sin(c), np.cos(c)]
+            return (Rz @ Ry @ Rx).astype(np.float32)
+
+        def boxes(k):
+            b6 = np.concatenate(
+                [rng.uniform(-1, 1, (k, 3)), np.exp(rng.uniform(-0.7, 0.7, (k, 3)))],
+                -1,
+            ).astype(np.float32)
+            R = np.stack([rot(*rng.uniform(0, np.pi, 3)) for _ in range(k)])
+            # a few reflected bases (det -1), like the ground-normal orthobases
+            R[:: 7, :, 0] *= -1
+            return np.array(cuboid_verts(jnp.asarray(b6), jnp.asarray(R)))
+
+        c1, c2 = boxes(n), boxes(n)
+        c2[: n // 4] += 10.0  # guaranteed-disjoint block
+        want = np.asarray(jax.vmap(_pair_intersect_volume)(jnp.asarray(c1), jnp.asarray(c2)))
+        got = np.asarray(_pairs_intersect_volume_lanes(jnp.asarray(c1), jnp.asarray(c2)))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -164,9 +164,129 @@ def _pair_intersect_volume(c1: jnp.ndarray, c2: jnp.ndarray, eps_rel: float = 1e
     return jnp.maximum(vol, 0.0)
 
 
+def _pairs_intersect_volume_lanes(corners1: jnp.ndarray, corners2: jnp.ndarray, eps_rel: float = 1e-6):
+    """Batch-minor (SoA) intersection volumes for N box pairs at once.
+
+    Identical math and candidate ordering to `_pair_intersect_volume`, laid
+    out for the VPU: every array keeps the JOB axis minor (J = 12*N clip
+    jobs — 6 faces of A against B's planes and vice versa), so each op runs
+    lane-dense instead of over the (…, verts, 3) 3-wide minors of the
+    vmapped form. Measured on v5e at 8000 pairs this is the difference
+    between 270 ms (the whole propose+score budget, r4 attribution) and
+    single-digit ms: same taps, same Sutherland–Hodgman sweep, the stable
+    compaction realized as an exclusive-prefix-sum destination select
+    (exactly the stable-argsort packing order, one candidate per slot).
+    """
+    n = corners1.shape[0]
+    shift = (corners1.mean(axis=1) + corners2.mean(axis=1)) * 0.5  # (N, 3)
+    a = corners1 - shift[:, None]
+    b = corners2 - shift[:, None]
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(a), axis=(1, 2)), jnp.max(jnp.abs(b), axis=(1, 2))
+    )
+    eps = eps_rel * jnp.maximum(scale, 1e-6)                       # (N,)
+
+    na, da = jax.vmap(_face_planes)(a)                             # (N,6,3)/(N,6)
+    nb, db = jax.vmap(_face_planes)(b)
+    quads_a = a[:, jnp.asarray(QUAD_FACES)]                        # (N,6,4,3)
+    quads_b = b[:, jnp.asarray(QUAD_FACES)]
+    sign_a = jax.vmap(_winding_sign)(a)                            # (N,)
+    sign_b = jax.vmap(_winding_sign)(b)
+
+    # assemble the 12N jobs: (quad, clip planes, eps sign, volume sign).
+    # Asymmetric epsilon exactly as in _pair_intersect_volume: A's faces
+    # keep coincident-plane patches (+eps), B's discard them (-eps).
+    quads = jnp.concatenate([quads_a, quads_b], axis=1)            # (N,12,4,3)
+    pn = jnp.concatenate(
+        [jnp.broadcast_to(nb[:, None], (n, 6, 6, 3)),
+         jnp.broadcast_to(na[:, None], (n, 6, 6, 3))], axis=1,
+    )                                                              # (N,12,6,3)
+    pd = jnp.concatenate(
+        [jnp.broadcast_to(db[:, None], (n, 6, 6)),
+         jnp.broadcast_to(da[:, None], (n, 6, 6))], axis=1,
+    )                                                              # (N,12,6)
+    eps_j = jnp.concatenate(
+        [jnp.broadcast_to(eps[:, None], (n, 6)),
+         jnp.broadcast_to(-eps[:, None], (n, 6))], axis=1,
+    )                                                              # (N,12)
+    sign_j = jnp.concatenate(
+        [jnp.broadcast_to(sign_a[:, None], (n, 6)),
+         jnp.broadcast_to(sign_b[:, None], (n, 6))], axis=1,
+    )                                                              # (N,12)
+
+    j = n * 12
+    m = MAX_VERTS
+    # job-minor layouts: verts (m, 3, J), planes (6, 3, J) / (6, J)
+    verts = jnp.zeros((m, 3, j), quads.dtype).at[:4].set(
+        quads.reshape(j, 4, 3).transpose(1, 2, 0)
+    )
+    count = jnp.full((j,), 4, jnp.int32)
+    pn_t = pn.reshape(j, 6, 3).transpose(1, 2, 0)
+    pd_t = pd.reshape(j, 6).T
+    eps_t = eps_j.reshape(j)
+
+    idx = jnp.arange(m)
+
+    def clip(i, carry):
+        v, c = carry                                # (m, 3, J), (J,)
+        nrm = pn_t[i]                               # (3, J)
+        off = pd_t[i]                               # (J,)
+        # explicit mul+reduce over the 3-wide coord axis: an einsum here
+        # lowers as J-batched tiny dots (the layout trap this rewrite kills)
+        dist = (v * nrm[None]).sum(axis=1) - off     # (m, J)
+        inside = dist <= eps_t
+        # next vertex: roll(-1) everywhere except the wrap row
+        # (i == count-1), which closes back to vertex 0
+        wrap = (idx[:, None] + 1) == c               # (m, J)
+        v_next = jnp.where(
+            wrap[:, None], v[0][None], jnp.roll(v, -1, axis=0)
+        )
+        d_next = jnp.where(wrap, dist[0][None], jnp.roll(dist, -1, axis=0))
+        in_next = d_next <= eps_t
+        denom = dist - d_next
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        t = (dist / denom)[:, None]                  # (m, 1, J)
+        v_int = v + t * (v_next - v)
+
+        valid = idx[:, None] < c                     # (m, J)
+        emit_int = (inside != in_next) & valid
+        emit_next = in_next & valid
+        # interleave per edge: [intersection, next] -> (2m, J)
+        cand = jnp.stack([v_int, v_next], axis=1).reshape(2 * m, 3, j)
+        flags = jnp.stack([emit_int, emit_next], axis=1).reshape(2 * m, j)
+        # stable compaction: destination slot = exclusive prefix count
+        dest = jnp.cumsum(flags, axis=0) - flags.astype(jnp.int32)
+        sel = (dest[None] == idx[:, None, None]) & flags[None]     # (m, 2m, J)
+        # one candidate per (slot, job) at most: broadcast-multiply-reduce
+        # (lane-dense; XLA fuses the select into the reduction)
+        new_v = (cand[None] * sel[:, :, None].astype(cand.dtype)).sum(axis=1)
+        new_c = flags.sum(axis=0).astype(jnp.int32)
+        return new_v, new_c
+
+    verts, count = jax.lax.fori_loop(0, 6, clip, (verts, count))
+
+    # signed fan volume wrt origin per job
+    valid_tri = (idx >= 1)[:, None] & (idx[:, None] <= count - 2)  # (m, J)
+    p0 = verts[0]                                                  # (3, J)
+    pi = verts                                                     # (m, 3, J)
+    pj = jnp.roll(verts, -1, axis=0).at[m - 1].set(verts[m - 1])
+    cross = jnp.stack(
+        [
+            pi[:, 1] * pj[:, 2] - pi[:, 2] * pj[:, 1],
+            pi[:, 2] * pj[:, 0] - pi[:, 0] * pj[:, 2],
+            pi[:, 0] * pj[:, 1] - pi[:, 1] * pj[:, 0],
+        ],
+        axis=1,
+    )                                                              # (m, 3, J)
+    tri = (p0[None] * cross).sum(axis=1) / 6.0
+    vol_j = jnp.sum(jnp.where(valid_tri, tri, 0.0), axis=0)        # (J,)
+    vol = jnp.sum((vol_j * sign_j.reshape(j)).reshape(n, 12), axis=1)
+    return jnp.maximum(vol, 0.0)
+
+
 def iou3d_pairs(corners1: jnp.ndarray, corners2: jnp.ndarray):
     """Matched-pair IoU3D. corners* (N, 8, 3) -> (vol (N,), iou (N,))."""
-    inter = jax.vmap(_pair_intersect_volume)(corners1, corners2)
+    inter = _pairs_intersect_volume_lanes(corners1, corners2)
     v1 = box_volume(corners1)
     v2 = box_volume(corners2)
     inter = jnp.minimum(inter, jnp.minimum(v1, v2))

@@ -70,12 +70,28 @@ def main():
         t_a = run(3)
         t_b = run(11)
         ms = (t_b - t_a) / 8 * 1e3
-        stats = dev.memory_stats() or {}
-        peak = stats.get("peak_bytes_in_use", 0)
-        rows.append((bs, ms, peak))
+        # the axon relay device reports no live memory_stats; the AOT
+        # executable's memory_analysis gives the compiler's HBM budget
+        # (arguments + outputs + temps + program), which is what the DP-8
+        # recipe fit depends on
+        mem = step.lower(holder["state"], batch, jax.random.PRNGKey(0)).compile().memory_analysis()
+        try:
+            total = (
+                mem.argument_size_in_bytes
+                + mem.output_size_in_bytes
+                + mem.temp_size_in_bytes
+                + mem.generated_code_size_in_bytes
+            )
+            detail = (
+                f"args {fmt(mem.argument_size_in_bytes)} + out "
+                f"{fmt(mem.output_size_in_bytes)} + temp {fmt(mem.temp_size_in_bytes)}"
+            )
+        except AttributeError:
+            total, detail = 0, str(mem)[:120]
+        rows.append((bs, ms, total))
         print(
             f"bs{bs:3d}: {ms:7.1f} ms/step  {bs / ms * 1e3:6.1f} im/s  "
-            f"peak {fmt(peak)}  (x8 global batch {bs * 8})",
+            f"HBM {fmt(total)} ({detail})  (x8 global batch {bs * 8})",
             flush=True,
         )
         # free before the next config

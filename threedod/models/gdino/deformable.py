@@ -162,6 +162,7 @@ def ms_deform_sample_pallas(
     locations: jnp.ndarray,           # (B, Lq, H, L, P, 2) normalized [0,1]
     weights: jnp.ndarray,             # (B, Lq, H, L, P) softmaxed
     chunk: int = 128,
+    heads_per_step: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused Pallas backend. Returns (B, Lq, H, D).
@@ -184,6 +185,13 @@ def ms_deform_sample_pallas(
     b, _, h, d = value.shape
     lq = locations.shape[1]
     p = locations.shape[4]
+    # heads per grid step would amortize the per-step fixed cost (selector
+    # iota builds, pipeline bubbles) across hb unrolled heads — but EVERY
+    # hb>1 variant (2, 4, 8) crashes the axon relay's Mosaic compile
+    # helper (HTTP 500, subprocess exit 1; DESIGN 11). Interpret-mode
+    # parity covers the loop form; flip the default when the toolchain
+    # catches up.
+    hb = heads_per_step if h % heads_per_step == 0 else 1
 
     def one_image(value_i, loc_i, w_i):
         # value_i (S, H, D); loc_i (Lq, H, L, P, 2); w_i (Lq, H, L, P)
@@ -227,57 +235,58 @@ def ms_deform_sample_pallas(
             wv = arr(w)
 
             def kernel(yi_ref, fy_ref, xi_ref, fx_ref, w_ref, plane_ref, out_ref):
-                yiv = yi_ref[0, 0]                  # (ckp, 1) int32
-                fyv = fy_ref[0, 0]                  # (ckp, 1) f32
+                # selector constants shared by the hb heads of this step
                 ioy = jax.lax.broadcasted_iota(jnp.int32, (ckp, hl), 1)
-                rowsel = (
-                    (ioy == yiv) * (1.0 - fyv) + (ioy == yiv + 1) * fyv
-                ).astype(value.dtype)
-                band = jnp.dot(
-                    rowsel, plane_ref[0], preferred_element_type=jnp.float32
-                )                                   # (ckp, wl*d) f32
-                xiv = xi_ref[0, 0]
-                fxv = fx_ref[0, 0]
-                # colsel at wl resolution (cheap VPU), expanded to the
-                # lane-dense x*d width by an MXU dot with the iota
-                # expansion matrix E[x, m] = (m // d == x) — building the
-                # weights directly at x*d width was measured VPU-bound
-                # (~13 us/step of iota compares)
                 iox = jax.lax.broadcasted_iota(jnp.int32, (ckp, wl), 1)
-                colsel = (
-                    (iox == xiv) * (1.0 - fxv) + (iox == xiv + 1) * fxv
-                ) * w_ref[0, 0]
                 er = jax.lax.broadcasted_iota(jnp.int32, (wl, wl * d), 0)
                 ec = jax.lax.broadcasted_iota(jnp.int32, (wl, wl * d), 1) // d
                 expand = (er == ec).astype(value.dtype)
-                wsel = jnp.dot(
-                    colsel.astype(value.dtype), expand,
-                    preferred_element_type=jnp.float32,
-                )
-                wband = (band * wsel).astype(value.dtype)
                 li = jax.lax.broadcasted_iota(jnp.int32, (wl * d, d), 0) % d
                 lj = jax.lax.broadcasted_iota(jnp.int32, (wl * d, d), 1)
                 lanes = (li == lj).astype(value.dtype)
-                outcp = jnp.dot(wband, lanes, preferred_element_type=jnp.float32)
-                # P-sum via selector matmul ((ckp,d) rows are query-major:
-                # row n belongs to query n // P)
                 rr = jax.lax.broadcasted_iota(jnp.int32, (chunk_l, ckp), 0)
                 cc = jax.lax.broadcasted_iota(jnp.int32, (chunk_l, ckp), 1)
                 psel = (cc // p == rr).astype(jnp.float32)
-                out_ref[0, 0] = jnp.dot(
-                    psel, outcp, preferred_element_type=jnp.float32
-                )
+                for j in range(hb):
+                    yiv = yi_ref[j, 0]              # (ckp, 1) int32
+                    fyv = fy_ref[j, 0]              # (ckp, 1) f32
+                    rowsel = (
+                        (ioy == yiv) * (1.0 - fyv) + (ioy == yiv + 1) * fyv
+                    ).astype(value.dtype)
+                    band = jnp.dot(
+                        rowsel, plane_ref[j], preferred_element_type=jnp.float32
+                    )                               # (ckp, wl*d) f32
+                    xiv = xi_ref[j, 0]
+                    fxv = fx_ref[j, 0]
+                    # colsel at wl resolution (cheap VPU), expanded to the
+                    # lane-dense x*d width by an MXU dot with the iota
+                    # expansion matrix E[x, m] = (m // d == x) — building
+                    # the weights directly at x*d width was VPU-bound
+                    colsel = (
+                        (iox == xiv) * (1.0 - fxv) + (iox == xiv + 1) * fxv
+                    ) * w_ref[j, 0]
+                    wsel = jnp.dot(
+                        colsel.astype(value.dtype), expand,
+                        preferred_element_type=jnp.float32,
+                    )
+                    wband = (band * wsel).astype(value.dtype)
+                    outcp = jnp.dot(wband, lanes, preferred_element_type=jnp.float32)
+                    # P-sum via selector matmul ((ckp,d) rows are
+                    # query-major: row n belongs to query n // P)
+                    out_ref[j, 0] = jnp.dot(
+                        psel, outcp, preferred_element_type=jnp.float32
+                    )
 
-            scal = lambda: pl.BlockSpec((1, 1, ckp, 1), lambda hh, cc: (hh, cc, 0, 0))
+            scal = lambda: pl.BlockSpec((hb, 1, ckp, 1), lambda hh, cc: (hh, cc, 0, 0))
             lvl_out = pl.pallas_call(
                 kernel,
-                grid=(h, n_chunks),
+                grid=(h // hb, n_chunks),
                 in_specs=[
                     scal(), scal(), scal(), scal(), scal(),
-                    pl.BlockSpec((1, hl, wl * d), lambda hh, cc: (hh, 0, 0)),
+                    pl.BlockSpec((hb, hl, wl * d), lambda hh, cc: (hh, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, 1, chunk_l, d), lambda hh, cc: (hh, cc, 0, 0)
+                    (hb, 1, chunk_l, d), lambda hh, cc: (hh, cc, 0, 0)
                 ),
                 out_shape=jax.ShapeDtypeStruct((h, n_chunks, chunk_l, d), jnp.float32),
                 interpret=interpret,

@@ -102,8 +102,12 @@ def bench_infer(backbone: str):
     return BATCH / t, "images/sec"
 
 
-def bench_depth_ground():
-    """DA-V2 ViT-S depth forward + RANSAC ground plane, per image."""
+def bench_depth_ground(batch: int = 1):
+    """DA-V2 ViT-S depth forward + RANSAC ground plane, per image.
+
+    The bs1 row is dominated by relay dispatch latency (3.5-8.6 ms/img
+    spread across captures with unchanged code — DESIGN 14); the bs8 row
+    measures the actual compute path."""
     from threedod.models.boxer import ground_plane_from_depth
     from threedod.models.depth import DepthAnythingV2
 
@@ -111,15 +115,17 @@ def bench_depth_ground():
     model = DepthAnythingV2(encoder="vits", max_depth=20.0, dtype=jnp.bfloat16)
     rng = np.random.RandomState(1)
     # 518 is DA-V2's standard input size (14 * 37)
-    x = jnp.asarray(rng.randn(1, 518, 518, 3).astype(np.float32))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    x = jnp.asarray(rng.randn(batch, 518, 518, 3).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
     K = jnp.asarray([[530.0, 0, 259.0], [0, 530.0, 259.0], [0, 0, 1.0]])
 
     @jax.jit
     def depth_and_plane(p, img, key):
-        d = model.apply(p, img)[0]
-        normal, pts, no_ground = ground_plane_from_depth(key, d, K)
+        d = model.apply(p, img)
+        normal, pts, no_ground = jax.vmap(
+            lambda dd, kk: ground_plane_from_depth(kk, dd, K)
+        )(d, jax.random.split(key, d.shape[0]))
         return d, normal
 
     def run(k):
@@ -132,7 +138,7 @@ def bench_depth_ground():
         return time.perf_counter() - t0
 
     t = timed(run)
-    return 1.0 / t, "images/sec"
+    return batch / t, "images/sec"
 
 
 def bench_asset_pipeline(gdino_size=800, sam_size=1024):
@@ -342,6 +348,7 @@ def main():
     go("dla34_infer_512px_bs8", bench_infer, "dla34")
     go("resnet34_infer_512px_bs8", bench_infer, "resnet34")
     go("dav2_vits_depth_ground", bench_depth_ground)
+    go("dav2_vits_depth_ground_bs8", bench_depth_ground, 8)
     go("gdino_sam_asset_step", bench_asset_pipeline)
     go("propose_score_1000", bench_propose_score)
     go("supervised_train_step", bench_train, False)

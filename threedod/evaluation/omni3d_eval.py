@@ -76,8 +76,13 @@ def iou_2d_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd=None) -> np.ndarray:
 
 _IOU3D_FN = None
 _IOU3D_PAIRS_FN = None
-# 2048, not 8192: XLA:TPU compile of the vmapped clipping kernel is
-# super-linear in the chunk size (measured r3, fresh process: 2048 ->
+# Chunk re-probed in r4 after the lane-dense clip kernel landed: warm
+# steady-state 3D evaluate is identical at 2048 and 8192 (7.09 vs 7.13 s
+# on 2000 images), and the first-EVER compile is load-noise either way
+# (probe: 14 s at 8192 vs 156 s at 2048 on a quiet box; live eval: 95 s
+# at 2048 vs 249 s at 8192 under load) — always one-time, covered by the
+# persistent cache. 2048 stays (status quo). Historical r3 note (the old
+# vmapped kernel): compile was super-linear (2048 ->
 # ~2-5 s total, 4096 -> ~12 s, 8192 -> ~25 s compile + 95 s first exec).
 # Steady-state cost of the smaller chunk is ~44 vs 34 us/pair — +0.4 s on
 # a 2k-image dataset — while the first 3D eval in a fresh process drops

@@ -56,6 +56,10 @@ class DatasetMapper3D:
         )
         self._cache: "dict[str, np.ndarray]" = {}
         self._cache_bytes = 0
+        # decoded (h, w) per path, recorded on first real imread — lets the
+        # cached-resize fast path verify record height/width metadata against
+        # the pixels (detectron2's check_image_size raises; we fall back)
+        self._true_dims: "dict[str, tuple]" = {}
 
     def _decode(self, path: str, size_key=None) -> np.ndarray:
         key = path if size_key is None else (path, size_key)
@@ -63,11 +67,14 @@ class DatasetMapper3D:
         if rgb is not None:
             return rgb
         rgb = imread_rgb(path)
+        self._true_dims[path] = rgb.shape[:2]
         if size_key is not None:
             rgb = np.asarray(Image.fromarray(rgb).resize(size_key, Image.BILINEAR))
         if self._cache_budget:
-            self._cache_bytes += rgb.nbytes
-            self._cache[key] = rgb
+            # setdefault: if another loader thread inserted this key between
+            # the get above and here, count the bytes only once
+            if self._cache.setdefault(key, rgb) is rgb:
+                self._cache_bytes += rgb.nbytes
             while self._cache_bytes > self._cache_budget and self._cache:
                 # dicts iterate in insertion order: evict oldest-inserted.
                 # Loader threads share this mapper; GIL-atomic dict ops make
@@ -109,6 +116,14 @@ class DatasetMapper3D:
             scale = self._scale_for(h0, w0)
             nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
             image = self._decode(record["file_name"], size_key=(nw, nh))
+            true_hw = self._true_dims.get(record["file_name"])
+            if true_hw is not None and tuple(true_hw) != (h0, w0):
+                # stale record metadata: re-derive from decoded pixels
+                # (first decode of the path always lands here on mismatch)
+                h0, w0 = true_hw
+                scale = self._scale_for(h0, w0)
+                nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+                image = self._decode(record["file_name"], size_key=(nw, nh))
         if self.format == "BGR":
             image = image[:, :, ::-1]
 

@@ -167,7 +167,13 @@ def fresh_state(cfg, trainer, sample, key):
         )
         state = state.replace(
             params=jax.tree.map(jnp.asarray, loaded["params"]),
-            batch_stats=jax.tree.map(jnp.asarray, loaded.get("batch_stats", {})),
+            # checkpoints without batch_stats (e.g. GN-only models saved by
+            # older tools) keep the freshly initialized stats rather than
+            # wiping them to {} — a BN-bearing model would fail at apply time
+            batch_stats=jax.tree.map(
+                jnp.asarray,
+                loaded.get("batch_stats") or jax.device_get(state.batch_stats),
+            ),
         )
         logger.info("loaded pretrain weights from %s", cfg.model.weights_pretrain)
     return state
@@ -189,8 +195,17 @@ def main():
     train_dicts = get_dataset_dicts(cfg.datasets.train)
     # weak Cube R-CNN consumes depth/ground maps + precomputed object masks
     load_maps = cfg.model.meta_architecture == "RCNN3DCombined"
-    loader = TrainLoader(train_dicts, cfg, seed=cfg.seed, load_maps=load_maps)
+    k_steps = max(1, int(cfg.solver.steps_per_dispatch))
+    loader = TrainLoader(
+        train_dicts, cfg, seed=cfg.seed, load_maps=load_maps,
+        steps_per_batch=k_steps,
+    )
     sample = next(iter(loader))
+    if k_steps > 1:
+        # superbatch (K, B, ...) — init wants one step's batch
+        from threedod.data.batch import split_superbatch
+
+        sample = split_superbatch(sample, k_steps)[0]
     state = fresh_state(cfg, trainer, sample, jax.random.PRNGKey(cfg.seed))
     start_iter = 0
 
@@ -218,7 +233,11 @@ def main():
             )
             state = state.replace(
                 params=jax.tree.map(jnp.asarray, loaded["params"]),
-                batch_stats=jax.tree.map(jnp.asarray, loaded.get("batch_stats", {})),
+                batch_stats=jax.tree.map(
+                    jnp.asarray,
+                    loaded.get("batch_stats")
+                    or jax.device_get(state.batch_stats),
+                ),
             )
             logger.info("loaded eval weights from %s", cfg.model.weights)
 

@@ -1,0 +1,229 @@
+"""Whole-model numeric parity: flax RCNN3D vs the end-to-end torch
+reference composition (tests/_rcnn3d_ref.py), weights shared through the
+REAL zoo converter.
+
+This closes the one seam per-component parity never covered: the
+composition (VERDICT r4 "next round" item 2). One fixed batch flows
+preprocess -> DLA34 trunk -> FPN -> RPN proposal selection -> ROIAlignV2
+box branch -> class-wise NMS -> cube head -> 3D assembly -> score fusion ->
+postprocess through BOTH models; every stage must agree numerically.
+
+Reference composition: cubercnn/modeling/meta_arch/rcnn3d.py:50-124 with
+the Base.yaml head configuration. Weights: a build_fake_sd reference-layout
+checkpoint (random values, d2 naming) loaded (a) into the torch model
+verbatim and (b) into flax through utils/convert_weights.py
+convert_cubercnn_rcnn3d — so the converter itself is in the loop.
+
+RNG-dependent paths (train-time sampling) are excluded by running eval
+only, per the drill definition.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from _fake_zoo import build_fake_sd
+from _rcnn3d_ref import TorchRefRCNN3D
+
+from threedod.config import Config
+from threedod.data.batch import Batch, normalize_image
+from threedod.models import build_model
+from threedod.models.backbones import build_backbone
+from threedod.models.rpn import RPN, RPNHead
+from threedod.ops.roi_align_pallas import WINDOW_Y
+from threedod.utils.convert_weights import convert_cubercnn_rcnn3d
+
+
+def _cfg():
+    cfg = Config()
+    cfg.model.dtype = "float32"
+    cfg.model.roi_heads.num_classes = 6
+    cfg.shapes.canvas_height = 128
+    cfg.shapes.canvas_width = 192  # all 5 pyramid halvings stay exact
+    cfg.shapes.max_gt = 8
+    cfg.shapes.max_detections = 16
+    cfg.model.rpn.pre_nms_topk_test = 256
+    cfg.model.rpn.post_nms_topk_test = 64
+    # >= post_nms * C so the flax top-candidate truncation (shapes
+    # contract) can never drop a survivor the d2-style path keeps
+    cfg.shapes.nms_candidates = 64 * 6
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    model = build_model(cfg)
+
+    b, h, w = 2, cfg.shapes.canvas_height, cfg.shapes.canvas_width
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (b, h, w, 3)).astype(np.uint8)
+    image_hw = np.array([[h, w], [112, 168]], np.int32)
+    # zero the canvas beyond each image's extent (mapper contract)
+    for i, (hh, ww) in enumerate(image_hw):
+        img[i, hh:] = 0
+        img[i, :, ww:] = 0
+    K = np.array(
+        [[[140.0, 0, 96], [0, 150.0, 64], [0, 0, 1]],
+         [[230.0, 0, 84], [0, 240.0, 56], [0, 0, 1]]], np.float32)
+    ratio = np.array([2.0, 1.5], np.float32)
+    batch = Batch(
+        image=jnp.asarray(img),
+        image_hw=jnp.asarray(image_hw),
+        K=jnp.asarray(K),
+        im_scale_ratio=jnp.asarray(ratio),
+        image_id=jnp.arange(b, dtype=jnp.int32),
+    )
+
+    variables = jax.jit(lambda bb: model.init(jax.random.PRNGKey(0), bb))(batch)
+    sd = build_fake_sd(jax.device_get(variables["params"]), np.random.RandomState(3))
+    # scale the random non-trunk tensors down so activations stay in a
+    # realistic range (softmax scores spread over (0, 1), finite boxes)
+    for k in sd:
+        if not k.startswith("backbone.bottom_up."):
+            sd[k] = (sd[k] * 0.05).astype(np.float32)
+
+    converted = convert_cubercnn_rcnn3d(
+        dict(sd), {"params": jax.device_get(variables["params"]),
+                   "batch_stats": jax.device_get(variables.get("batch_stats", {}))}
+    )
+
+    tmodel = TorchRefRCNN3D(cfg)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=False
+    )
+    # only the DLA classifier head (not part of the detector) may be missing
+    assert not unexpected, unexpected
+    assert all(m.startswith("backbone.bottom_up.fc") for m in missing), missing
+    tmodel.eval()
+
+    # torch-side preprocess: identical normalize + zero-beyond-extent
+    mean = np.asarray(cfg.model.pixel_mean, np.float32)
+    std = np.asarray(cfg.model.pixel_std, np.float32)
+    x = (img.astype(np.float32) - mean) / std
+    for i, (hh, ww) in enumerate(image_hw):
+        x[i, hh:] = 0
+        x[i, :, ww:] = 0
+    x_nchw = torch.from_numpy(x.transpose(0, 3, 1, 2)).contiguous()
+
+    return cfg, model, variables, converted, tmodel, batch, x_nchw, image_hw, K, ratio
+
+
+class TestWholeModelParity:
+    def test_fpn_features(self, setup):
+        cfg, model, _, converted, tmodel, batch, x_nchw, *_ = setup
+        bb = build_backbone(cfg.model.backbone, cfg.model.fpn_out_channels, dtype=jnp.float32)
+        feats = jax.jit(lambda v, im: bb.apply(v, im, train=False))(
+            {"params": converted["params"]["backbone"],
+             "batch_stats": converted["batch_stats"]["backbone"]},
+            normalize_image(batch.image, cfg.model, batch.image_hw),
+        )
+        tfeats = tmodel.features(x_nchw)
+        for lvl in ("p2", "p3", "p4", "p5", "p6"):
+            a = np.asarray(feats[lvl])
+            b = tfeats[lvl].numpy().transpose(0, 2, 3, 1)
+            scale = np.abs(b).max() + 1e-6
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=2e-5,
+                err_msg=f"FPN level {lvl}",
+            )
+        TestWholeModelParity.feats = feats
+        TestWholeModelParity.tfeats = tfeats
+
+    def test_rpn_proposals(self, setup):
+        cfg, model, _, converted, tmodel, batch, x_nchw, image_hw, *_ = setup
+        feats = TestWholeModelParity.feats
+        num_anchors = len(cfg.model.rpn.aspect_ratios) * len(cfg.model.rpn.anchor_sizes[0])
+        head = RPNHead(num_anchors=num_anchors, dtype=jnp.float32)
+        rpn_feats = {f: feats[f] for f in cfg.model.rpn.in_features}
+        logits, regs = jax.jit(
+            lambda v, ff: head.apply(v, ff, train=False)
+        )({"params": converted["params"]["rpn_head"]}, rpn_feats)
+
+        shapes = {f: (rpn_feats[f].shape[1], rpn_feats[f].shape[2]) for f in rpn_feats}
+        rpn = RPN(cfg, shapes)
+        props = rpn.predict_proposals(logits, regs, batch.image_hw, train=False)
+
+        tprops = tmodel.rpn_proposals(TestWholeModelParity.tfeats, image_hw)
+        for i in range(2):
+            valid = np.asarray(props.valid[i])
+            fb = np.asarray(props.boxes[i])[valid]
+            fsc = np.asarray(props.scores[i])[valid]
+            tb, tsc = tprops[i]
+            assert len(fb) == len(tb), (len(fb), len(tb))
+            np.testing.assert_allclose(fsc, tsc.numpy(), rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(fb, tb.numpy(), rtol=1e-4, atol=1e-3)
+        TestWholeModelParity.props = props
+        TestWholeModelParity.tprops = tprops
+
+    def test_detections_and_cubes(self, setup):
+        cfg, model, _, converted, tmodel, batch, x_nchw, image_hw, K, ratio = setup
+        det = jax.jit(lambda v, bb: model.apply(v, bb, train=False))(converted, batch)
+
+        tprops = TestWholeModelParity.tprops
+        tfeats = TestWholeModelParity.tfeats
+        n_bumped = 0
+        for i in range(2):
+            feats_i = {k: v[i] for k, v in tfeats.items()}
+            tb, tsc, tcls, bumped1 = tmodel.detect_image(
+                feats_i, tprops[i][0], image_hw[i], fit_window=WINDOW_Y
+            )
+            valid = np.asarray(det.valid[i])
+            fb = np.asarray(det.boxes[i])[valid]
+            f2d = np.asarray(det.scores_2d[i])[valid]
+            fcls = np.asarray(det.classes[i])[valid]
+            assert len(fb) == len(tb), f"image {i}: {len(fb)} vs {len(tb)}"
+            np.testing.assert_allclose(f2d, tsc.numpy(), rtol=1e-4, atol=1e-5)
+            assert (fcls == tcls.numpy()).all()
+            # flax postprocess rescales to original resolution
+            np.testing.assert_allclose(
+                fb, tb.numpy() * float(ratio[i]), rtol=1e-4, atol=1e-3
+            )
+
+            # cube branch on the SAME detections
+            Ks_scaled = torch.from_numpy(K[i] / ratio[i])
+            Ks_scaled[2, 2] = 1.0
+            im_h_net = float(image_hw[i][0])
+            v2r = (im_h_net * K[i][1, 1]) / (
+                cfg.model.roi_cube_head.virtual_focal * im_h_net * ratio[i]
+            )
+            out, bumped2 = tmodel.cubes_image(
+                feats_i, tb, tcls.long(), Ks_scaled, v2r, fit_window=WINDOW_Y
+            )
+            n_bumped += int(bumped1.sum()) + int(bumped2.sum())
+
+            np.testing.assert_allclose(
+                np.asarray(det.center_cam[i])[valid], out["center_cam"].numpy(),
+                rtol=2e-4, atol=2e-4, err_msg=f"center_cam image {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(det.dimensions[i])[valid], out["dims"].numpy(),
+                rtol=2e-4, atol=2e-5, err_msg=f"dims image {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(det.pose[i])[valid], out["pose"].numpy(),
+                rtol=2e-4, atol=2e-4, err_msg=f"pose image {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(det.corners3d[i])[valid], out["corners"].numpy(),
+                rtol=2e-4, atol=5e-4, err_msg=f"corners image {i}",
+            )
+            # fused score sqrt(s2d * exp(-u)) (roi_heads.py:2682-2730)
+            conf = torch.exp(-out["uncert"]).numpy()
+            fused = np.sqrt(np.maximum(tsc.numpy() * conf, 0.0))
+            np.testing.assert_allclose(
+                np.asarray(det.scores[i])[valid], fused, rtol=2e-4, atol=1e-5
+            )
+            # center_2d at original resolution
+            np.testing.assert_allclose(
+                np.asarray(det.center_2d[i])[valid],
+                out["xy"].numpy() * float(ratio[i]), rtol=2e-4, atol=1e-3,
+            )
+        # the window-bump is the one documented pooling divergence vs pure
+        # d2 assignment; record how often this batch exercised it
+        print(f"window-bumped ROIs (mirrored divergence): {n_bumped}")

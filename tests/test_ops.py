@@ -10,6 +10,7 @@ from threedod.ops import (
     match_candidates,
     multilevel_roi_align,
     multilevel_roi_align_dense,
+    multilevel_roi_align_windowed,
     nms_mask,
     roi_align,
     subsample_fg_bg,
@@ -39,6 +40,30 @@ class TestRoiAlign:
         boxes = jnp.asarray([[-100.0, -100.0, -50.0, -50.0]])
         out = np.asarray(roi_align(f, boxes, output_size=3))
         np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+    def test_border_semantics_v2(self):
+        """ROIAlignV2 border rule (d2/torchvision bilinear_interpolate):
+        samples zero only outside [-1, dim]; inside the band the coordinate
+        clamps into [0, dim-1], so edge samples take the border cell at FULL
+        weight. Hand-computed on a 2x2 map (round-5 parity fix: the old
+        tap-validity rule returned 10.0 / 15.0 here)."""
+        f = jnp.asarray([[10.0, 20.0], [30.0, 40.0]])[..., None]
+        boxes = jnp.asarray([[-1.0, 0.0, 1.0, 2.0], [1.0, 0.0, 3.0, 2.0]])
+        out = np.asarray(roi_align(f, boxes, output_size=1, sampling_ratio=2))
+        # box 1: x samples at -1.0 (clamps to col 0) and 0.0; y at 0.0, 1.0
+        #   -> mean(10, 10, 30, 30) = 20
+        # box 2: x samples at 1.0 and 2.0 (band <= w=2, clamps to col 1)
+        #   -> mean(20, 20, 40, 40) = 30
+        np.testing.assert_allclose(out.ravel(), [20.0, 30.0], atol=1e-5)
+        # windowed + packed multilevel paths implement the same rule
+        feats = {"p2": f}
+        boxes4 = boxes * 4.0  # p2 stride 4 -> same feature coords
+        a = np.asarray(multilevel_roi_align(feats, boxes4, output_size=1))
+        b = np.asarray(
+            multilevel_roi_align_windowed(feats, boxes4, output_size=1, window=8)
+        )
+        np.testing.assert_allclose(a.ravel(), [20.0, 30.0], atol=1e-5)
+        np.testing.assert_allclose(b.ravel(), [20.0, 30.0], atol=1e-5)
 
     def test_level_assignment(self):
         boxes = jnp.asarray(

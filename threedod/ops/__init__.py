@@ -18,5 +18,6 @@ from .roi_align import (
     assign_fpn_levels,
     multilevel_roi_align,
     multilevel_roi_align_dense,
+    multilevel_roi_align_windowed,
     roi_align,
 )

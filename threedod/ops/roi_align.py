@@ -52,6 +52,17 @@ def roi_align(
 
     def bilinear(fmap, xs, ys):
         # xs, ys: (N, S) -> sample the outer-product grid (N, S, S, C)
+        # ROIAlignV2 border rule (torchvision/detectron2
+        # bilinear_interpolate): a sample is zero only when its coordinate
+        # leaves [-1, dim]; inside that band the coordinate is clamped into
+        # [0, dim-1], so edge samples take the border value at FULL weight
+        # (round-5 fix — the previous tap-validity masking gave them only
+        # the in-range fraction, a real numeric drift for ROIs touching the
+        # feature boundary).
+        band_x = (xs >= -1.0) & (xs <= w)  # (N, S)
+        band_y = (ys >= -1.0) & (ys <= h)
+        xs = jnp.clip(xs, 0.0, w - 1.0)
+        ys = jnp.clip(ys, 0.0, h - 1.0)
         Y = ys[:, :, None]  # (N, S, 1)
         X = xs[:, None, :]  # (N, 1, S)
         y0f = jnp.floor(Y)
@@ -63,20 +74,21 @@ def roi_align(
 
         def gather(yi, xi):
             yi, xi = jnp.broadcast_arrays(yi, xi)
-            valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
-            vals = fmap[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
-            return vals * valid[..., None]
+            # taps stay in range by construction (clamped coords; the +1
+            # tap at the border carries frac == 0)
+            return fmap[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
 
         v00 = gather(y0, x0)
         v01 = gather(y0, x0 + 1)
         v10 = gather(y0 + 1, x0)
         v11 = gather(y0 + 1, x0 + 1)
-        return (
+        out = (
             v00 * (1 - dy) * (1 - dx)
             + v01 * (1 - dy) * dx
             + v10 * dy * (1 - dx)
             + v11 * dy * dx
         )  # (N, S, S, C)
+        return out * (band_y[:, :, None] & band_x[:, None, :])[..., None]
 
     samples = bilinear(features, sx, sy)
     # average within each bin: (N, s, r, s, r, C) -> (N, s, s, C)
@@ -213,18 +225,22 @@ def multilevel_roi_align_windowed(
     x0w = jnp.clip(jnp.floor(sx[:, 0]).astype(jnp.int32), 0, w0 - window)
 
     def axis_weights(coords, origin, limit):
-        """(N, sr) sample coords -> (N, s, window) bin-averaged tap weights."""
-        f0 = jnp.floor(coords)
-        frac = coords - f0
+        """(N, sr) sample coords -> (N, s, window) bin-averaged tap weights.
+
+        ROIAlignV2 border rule: zero only outside [-1, limit]; inside the
+        band, clamp into [0, limit-1] so border samples take the edge cell
+        at full weight (matches roi_align above and d2/torchvision)."""
+        lim = limit[:, None].astype(coords.dtype)  # (N, 1)
+        band = (coords >= -1.0) & (coords <= lim)
+        cc = jnp.clip(coords, 0.0, lim - 1.0)
+        f0 = jnp.floor(cc)
+        frac = cc - f0
         i0 = f0.astype(jnp.int32) - origin[:, None]  # tap0, window-local
         tap_idx = jnp.arange(window)[None, None, :]
-        glob = f0.astype(jnp.int32)[:, :, None]
-        v0 = (glob >= 0) & (glob <= limit[:, None, None] - 1)
-        v1 = (glob + 1 >= 0) & (glob + 1 <= limit[:, None, None] - 1)
         w_tap = (
-            (tap_idx == i0[:, :, None]) * ((1.0 - frac)[:, :, None]) * v0
-            + (tap_idx == i0[:, :, None] + 1) * frac[:, :, None] * v1
-        )  # (N, sr, window)
+            (tap_idx == i0[:, :, None]) * ((1.0 - frac)[:, :, None])
+            + (tap_idx == i0[:, :, None] + 1) * frac[:, :, None]
+        ) * band[:, :, None]  # (N, sr, window)
         # bin-average the r samples of each output cell
         return w_tap.reshape(n, s, r, window).mean(axis=2)
 
@@ -301,6 +317,15 @@ def multilevel_roi_align(
     sx = x1[:, None] + grid[None, :] * (bw / s)[:, None]  # (N, sr)
     sy = y1[:, None] + grid[None, :] * (bh / s)[:, None]
 
+    # ROIAlignV2 border rule (see roi_align): band-mask outside [-1, dim],
+    # clamp inside so border samples take the edge cell at full weight
+    h_f = lvl_h[:, None].astype(sy.dtype)
+    w_f = lvl_w[:, None].astype(sx.dtype)
+    band_y = (sy >= -1.0) & (sy <= h_f)  # (N, sr)
+    band_x = (sx >= -1.0) & (sx <= w_f)
+    sy = jnp.clip(sy, 0.0, h_f - 1.0)
+    sx = jnp.clip(sx, 0.0, w_f - 1.0)
+
     Y = sy[:, :, None]  # (N, sr, 1)
     X = sx[:, None, :]  # (N, 1, sr)
     y0f = jnp.floor(Y)
@@ -316,9 +341,10 @@ def multilevel_roi_align(
 
     def gather(yi, xi):
         yi, xi = jnp.broadcast_arrays(yi, xi)
-        valid = (yi >= 0) & (yi <= h_lim - 1) & (xi >= 0) & (xi <= w_lim - 1)
+        # taps in range by construction (clamped coords; +1 tap at the
+        # border carries frac == 0)
         idx = off + jnp.clip(yi, 0, h_lim - 1) * w_lim + jnp.clip(xi, 0, w_lim - 1)
-        return flat[idx] * valid[..., None]
+        return flat[idx]
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x0 + 1)
@@ -329,6 +355,6 @@ def multilevel_roi_align(
         + v01 * (1 - dy) * dx
         + v10 * dy * (1 - dx)
         + v11 * dy * dx
-    )  # (N, sr, sr, C)
+    ) * (band_y[:, :, None] & band_x[:, None, :])[..., None]  # (N, sr, sr, C)
     n = boxes.shape[0]
     return samples.reshape(n, s, r, s, r, c).mean(axis=(2, 4))

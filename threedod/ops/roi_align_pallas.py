@@ -312,18 +312,25 @@ def _kernel(scal_ref, nxt_ref, ay_ref, ax_ref, buf_ref, out_ref, win, sem,
 
 
 def _axis_weights(coords, origin, limit, n, s, r, window):
-    """(N, s*r) sample coords -> (N, S_PAD, window) bin-averaged tap weights."""
-    f0 = jnp.floor(coords)
-    frac = coords - f0
+    """(N, s*r) sample coords -> (N, S_PAD, window) bin-averaged tap weights.
+
+    ROIAlignV2 border rule (matches ops/roi_align.py round-5 fix): a sample
+    zeroes only outside [-1, limit]; inside the band its coordinate clamps
+    into [0, limit-1], so border samples take the edge cell at FULL weight.
+    Taps beyond a level's rows still carry exactly-zero weight (the +1 tap
+    at a clamped coordinate has frac == 0), preserving the batched-plane
+    no-cross-image-spill invariant (_prep docstring)."""
+    lim = limit[:, None].astype(coords.dtype)
+    band = (coords >= -1.0) & (coords <= lim)
+    cc = jnp.clip(coords, 0.0, lim - 1.0)
+    f0 = jnp.floor(cc)
+    frac = cc - f0
     i0 = f0.astype(jnp.int32) - origin[:, None]
     tap_idx = jnp.arange(window)[None, None, :]
-    glob = f0.astype(jnp.int32)[:, :, None]
-    v0 = (glob >= 0) & (glob <= limit[:, None, None] - 1)
-    v1 = (glob + 1 >= 0) & (glob + 1 <= limit[:, None, None] - 1)
     w_tap = (
-        (tap_idx == i0[:, :, None]) * ((1.0 - frac)[:, :, None]) * v0
-        + (tap_idx == i0[:, :, None] + 1) * frac[:, :, None] * v1
-    )
+        (tap_idx == i0[:, :, None]) * ((1.0 - frac)[:, :, None])
+        + (tap_idx == i0[:, :, None] + 1) * frac[:, :, None]
+    ) * band[:, :, None]
     w = w_tap.reshape(n, s, r, window).mean(axis=2)
     return jnp.pad(w, ((0, 0), (0, S_PAD - s), (0, 0)))
 

@@ -27,7 +27,22 @@ def _corners_from_cwh(cx, cy, cz, w, h, le):
     return pts
 
 
-def _random_case(rng, mode, eval_prox, tie_heavy):
+def _edge_wh(rng):
+    """Width/height whose product lands EXACTLY on a 2D area-range boundary
+    (1024 / 9216): COCO range membership is inclusive on both ends, so a
+    boundary value belongs to two buckets and any </<= slip in either
+    implementation shows up."""
+    if rng.rand() < 0.5:
+        return (32.0, 32.0) if rng.rand() < 0.5 else (16.0, 64.0)
+    return (96.0, 96.0) if rng.rand() < 0.5 else (48.0, 192.0)
+
+
+def _edge_depth(rng):
+    """Depth exactly on a 3D area-range boundary (10 / 35 meters)."""
+    return 10.0 if rng.rand() < 0.5 else 35.0
+
+
+def _random_case(rng, mode, eval_prox, tie_heavy, edge_heavy=False):
     n_imgs = rng.randint(1, 4)
     n_cats = rng.randint(1, 3)
     gts, dts = [], []
@@ -38,6 +53,10 @@ def _random_case(rng, mode, eval_prox, tie_heavy):
                 x, y = rng.uniform(0, 80, 2)
                 w, h = rng.uniform(5, 60, 2)
                 depth = rng.uniform(0.5, 60)
+                if edge_heavy and rng.rand() < 0.5:
+                    w, h = _edge_wh(rng)
+                if edge_heavy and rng.rand() < 0.5:
+                    depth = _edge_depth(rng)
                 gid += 1
                 g = {
                     "id": gid,
@@ -59,6 +78,10 @@ def _random_case(rng, mode, eval_prox, tie_heavy):
                 x, y = rng.uniform(0, 80, 2)
                 w, h = rng.uniform(5, 60, 2)
                 depth = rng.uniform(0.5, 60)
+                if edge_heavy and rng.rand() < 0.5:
+                    w, h = _edge_wh(rng)
+                if edge_heavy and rng.rand() < 0.5:
+                    depth = _edge_depth(rng)
                 score = (
                     round(rng.rand() * 4) / 4.0 if tie_heavy else float(rng.rand())
                 )
@@ -121,11 +144,34 @@ def _random_case(rng, mode, eval_prox, tie_heavy):
     return gts, dts
 
 
-def _run_both(gts, dts, mode, eval_prox):
+def _eval_once(gts, dts, mode, eval_prox):
     ev = Omni3DEval(copy.deepcopy(gts), copy.deepcopy(dts), mode=mode, eval_prox=eval_prox)
     ev.evaluate()
     ev.accumulate()
     stats = ev.summarize()
+    return ev, stats
+
+
+def _run_both(gts, dts, mode, eval_prox):
+    """Tri-way certification: production evaluator (native `_evalc` matcher
+    when built) vs its pure-numpy fallback (BIT-equal required) vs the
+    from-scratch brute-force oracle (1e-6)."""
+    import threedod.evaluation.omni3d_eval as oe
+
+    ev, stats = _eval_once(gts, dts, mode, eval_prox)
+    if oe._evalc is not None:
+        saved = oe._evalc
+        try:
+            oe._evalc = None
+            ev_np, stats_np = _eval_once(gts, dts, mode, eval_prox)
+        finally:
+            oe._evalc = saved
+        np.testing.assert_array_equal(
+            ev.eval["precision"], ev_np.eval["precision"],
+            err_msg=f"native/numpy matcher drift mode={mode} prox={eval_prox}",
+        )
+        np.testing.assert_array_equal(ev.eval["recall"], ev_np.eval["recall"])
+        np.testing.assert_array_equal(stats, stats_np)
     bf = bruteforce_eval(copy.deepcopy(gts), copy.deepcopy(dts), mode=mode, eval_prox=eval_prox)
     np.testing.assert_allclose(
         ev.eval["precision"], bf["precision"], atol=1e-6,
@@ -157,3 +203,32 @@ def test_bruteforce_agreement_3d(seed):
     rng = np.random.RandomState(seed)
     gts, dts = _random_case(rng, "3D", eval_prox=seed % 3 == 0, tie_heavy=seed % 2 == 0)
     _run_both(gts, dts, "3D", eval_prox=seed % 3 == 0)
+
+
+# ---------------------------------------------------------------------------
+# bulk certification (round 5): 395 additional randomized cases crossing
+# eval_prox x ignore2D/3D x exact area/depth-range boundaries x score ties,
+# bringing the certified corpus to N=500; every case also asserts the
+# native `_evalc` matcher and the numpy fallback are BIT-equal (_run_both).
+# Chunked 25/19-per-test to keep pytest collection readable.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("chunk", range(12))
+def test_bruteforce_bulk_2d_edges(chunk):
+    for seed in range(200 + chunk * 25, 200 + (chunk + 1) * 25):
+        rng = np.random.RandomState(seed)
+        prox = seed % 3 == 0
+        gts, dts = _random_case(
+            rng, "2D", eval_prox=prox, tie_heavy=seed % 2 == 0, edge_heavy=True
+        )
+        _run_both(gts, dts, "2D", eval_prox=prox)
+
+
+@pytest.mark.parametrize("chunk", range(5))
+def test_bruteforce_bulk_3d_edges(chunk):
+    for seed in range(600 + chunk * 19, 600 + (chunk + 1) * 19):
+        rng = np.random.RandomState(seed)
+        prox = seed % 3 == 0
+        gts, dts = _random_case(
+            rng, "3D", eval_prox=prox, tie_heavy=seed % 2 == 0, edge_heavy=True
+        )
+        _run_both(gts, dts, "3D", eval_prox=prox)

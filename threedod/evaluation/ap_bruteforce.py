@@ -40,14 +40,21 @@ class _Params:
     (omni3d_evaluation.py:1020-1086), NOT imported from omni3d_eval."""
 
     def __init__(self, mode: str):
-        self.recThrs = [i / 100.0 for i in range(101)]
+        # The threshold GRIDS use np.linspace like COCOeval because the
+        # reference's exact float values are part of the spec:
+        # np.linspace(0, 1, 101)[70] == 0.7000000000000001, so a recall
+        # plateau at exactly 7/10 falls BELOW the 0.70 threshold — an
+        # `i/100.0` grid (exactly 0.7) disagrees by a whole precision cell
+        # on tie-heavy cases (caught by the round-5 bulk certifier, seed
+        # 423). Everything else here stays independently restated.
+        self.recThrs = list(np.linspace(0.0, 1.00, 101, endpoint=True))
         self.maxDets = [1, 10, 100]
         self.proximity_thresh = 0.3
         if mode == "2D":
-            self.iouThrs = [0.5 + 0.05 * i for i in range(10)]
+            self.iouThrs = list(np.linspace(0.5, 0.95, 10, endpoint=True))
             self.areaRng = [[0, 1e10], [0, 1024], [1024, 9216], [9216, 1e10]]
         else:
-            self.iouThrs = [0.05 + 0.05 * i for i in range(10)]
+            self.iouThrs = list(np.linspace(0.05, 0.5, 10, endpoint=True))
             self.areaRng = [[0, 1e5], [0, 10], [10, 35], [35, 1e5]]
 
 

@@ -200,10 +200,19 @@ def ms_deform_sample_pallas(
         for lvl, (hl, wl) in enumerate(spatial_shapes):
             # per-level chunk: smaller levels take bigger chunks (the VMEM
             # band is chunk*P x wl*d), cutting the grid-step count — the
-            # fixed per-step cost dominated the small levels. Capped at 2x:
-            # the P-sum selector is (chunk, chunk*P), i.e. quadratic in the
-            # chunk, and 4x scaling blew the 16 MB VMEM budget on level 2
-            chunk_l = min(lq, max(1, chunk * max(1, min(2, 3200 // (wl * d)))))
+            # measured ~10 us fixed per-step cost dominates them (r5
+            # attribution: a 13x13 level with near-zero compute still cost
+            # 4.05 ms = 416 steps). The P-sum is a reshape-sum (no
+            # quadratic selector since r5), so the cap is just the f32
+            # band staying well under the 16 MB VMEM budget:
+            # chunk*P*wl*d*4B <= ~6.5 MB.
+            # empirical VMEM schedule (Mosaic's scoped-vmem accounting
+            # includes the double-buffered f32 band + wsel): 4x on the
+            # 800-lane level OOMs at 18.3M/16M, 3x fits; 6x on the
+            # smallest level fits comfortably
+            m = wl * d
+            factor = 1 if m >= 3200 else 2 if m >= 1600 else 3 if m >= 800 else 6
+            chunk_l = min(lq, max(1, chunk * factor))
             n_chunks = -(-lq // chunk_l)
             pad = n_chunks * chunk_l - lq
             ckp = chunk_l * p
@@ -220,69 +229,78 @@ def ms_deform_sample_pallas(
             x0 = jnp.floor(x)
             y0 = jnp.floor(y)
 
-            def arr(a, dtype=jnp.float32):
-                # (Lq, H, P) -> (H, n_chunks, ckp, 1) trailing-1 for
-                # in-kernel lane broadcasting (Mosaic rejects 1D reshapes)
-                a = a.astype(dtype)
+            # ONE row-major packed scalar block per step: rows [yi, fy, xi,
+            # fx, w] on the SUBLANE axis, queries on the lane axis. The
+            # former five (ckp, 1) column blocks each padded their lane dim
+            # to the 128 tile — 5 x ckp x 128 x 4B double-buffered was the
+            # dominant VMEM term (24 MB at a 6x chunk) AND most of the
+            # per-step DMA; the packed (8, ckp) form is 80x smaller.
+            def pack(*arrays):
+                a = jnp.stack([x.astype(jnp.float32) for x in arrays])  # (5, Lq, H, P)
                 if pad:
-                    a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
-                return a.transpose(1, 0, 2).reshape(h, n_chunks, ckp, 1)
+                    a = jnp.pad(a, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                a = a.transpose(2, 0, 1, 3).reshape(h, 5, n_chunks, ckp)
+                a = a.transpose(0, 2, 1, 3)  # (H, n_chunks, 5, ckp)
+                return jnp.pad(a, ((0, 0), (0, 0), (0, 3), (0, 0)))
 
-            yi = arr(jnp.clip(y0, -2, hl + 1), jnp.int32)
-            xi = arr(jnp.clip(x0, -2, wl + 1), jnp.int32)
-            fy = arr(y - y0)
-            fx = arr(x - x0)
-            wv = arr(w)
+            packed = pack(
+                jnp.clip(y0, -2, hl + 1), y - y0,
+                jnp.clip(x0, -2, wl + 1), x - x0, w,
+            )
 
-            def kernel(yi_ref, fy_ref, xi_ref, fx_ref, w_ref, plane_ref, out_ref):
-                # selector constants shared by the hb heads of this step
-                ioy = jax.lax.broadcasted_iota(jnp.int32, (ckp, hl), 1)
-                iox = jax.lax.broadcasted_iota(jnp.int32, (ckp, wl), 1)
+            def kernel(scal_ref, plane_ref, out_ref):
+                # iota selector constants shared by the hb heads of a step
+                ioy = jax.lax.broadcasted_iota(jnp.int32, (hl, ckp), 0)
+                iox = jax.lax.broadcasted_iota(jnp.int32, (wl, ckp), 0)
                 er = jax.lax.broadcasted_iota(jnp.int32, (wl, wl * d), 0)
                 ec = jax.lax.broadcasted_iota(jnp.int32, (wl, wl * d), 1) // d
                 expand = (er == ec).astype(value.dtype)
                 li = jax.lax.broadcasted_iota(jnp.int32, (wl * d, d), 0) % d
                 lj = jax.lax.broadcasted_iota(jnp.int32, (wl * d, d), 1)
                 lanes = (li == lj).astype(value.dtype)
-                rr = jax.lax.broadcasted_iota(jnp.int32, (chunk_l, ckp), 0)
-                cc = jax.lax.broadcasted_iota(jnp.int32, (chunk_l, ckp), 1)
-                psel = (cc // p == rr).astype(jnp.float32)
+                # contract dim 0 of both operands: lhs arrives transposed
+                # (selector built query-minor so the (1, ckp) scalar rows
+                # broadcast along sublanes)
+                dn = (((0,), (0,)), ((), ()))
                 for j in range(hb):
-                    yiv = yi_ref[j, 0]              # (ckp, 1) int32
-                    fyv = fy_ref[j, 0]              # (ckp, 1) f32
-                    rowsel = (
+                    sc = scal_ref[j, 0]             # (8, ckp) f32
+                    yiv = sc[0:1].astype(jnp.int32)
+                    fyv = sc[1:2]
+                    rowsel_t = (
                         (ioy == yiv) * (1.0 - fyv) + (ioy == yiv + 1) * fyv
-                    ).astype(value.dtype)
-                    band = jnp.dot(
-                        rowsel, plane_ref[j], preferred_element_type=jnp.float32
+                    ).astype(value.dtype)           # (hl, ckp)
+                    band = jax.lax.dot_general(
+                        rowsel_t, plane_ref[j], dn,
+                        preferred_element_type=jnp.float32,
                     )                               # (ckp, wl*d) f32
-                    xiv = xi_ref[j, 0]
-                    fxv = fx_ref[j, 0]
+                    xiv = sc[2:3].astype(jnp.int32)
+                    fxv = sc[3:4]
                     # colsel at wl resolution (cheap VPU), expanded to the
                     # lane-dense x*d width by an MXU dot with the iota
                     # expansion matrix E[x, m] = (m // d == x) — building
                     # the weights directly at x*d width was VPU-bound
-                    colsel = (
+                    colsel_t = (
                         (iox == xiv) * (1.0 - fxv) + (iox == xiv + 1) * fxv
-                    ) * w_ref[j, 0]
-                    wsel = jnp.dot(
-                        colsel.astype(value.dtype), expand,
+                    ) * sc[4:5]                     # (wl, ckp)
+                    wsel = jax.lax.dot_general(
+                        colsel_t.astype(value.dtype), expand, dn,
                         preferred_element_type=jnp.float32,
-                    )
+                    )                               # (ckp, wl*d)
                     wband = (band * wsel).astype(value.dtype)
                     outcp = jnp.dot(wband, lanes, preferred_element_type=jnp.float32)
-                    # P-sum via selector matmul ((ckp,d) rows are
-                    # query-major: row n belongs to query n // P)
-                    out_ref[j, 0] = jnp.dot(
-                        psel, outcp, preferred_element_type=jnp.float32
-                    )
+                    # P-sum: rows are query-major (row n belongs to query
+                    # n // P), so a sublane regroup + middle-axis sum
+                    # replaces the former (chunk, ckp) selector matmul —
+                    # which was quadratic in the chunk and capped small
+                    # levels at 2x base (r5; frees the chunk budget that
+                    # cuts their grid-step count 2-4x)
+                    out_ref[j, 0] = outcp.reshape(chunk_l, p, d).sum(axis=1)
 
-            scal = lambda: pl.BlockSpec((hb, 1, ckp, 1), lambda hh, cc: (hh, cc, 0, 0))
             lvl_out = pl.pallas_call(
                 kernel,
                 grid=(h // hb, n_chunks),
                 in_specs=[
-                    scal(), scal(), scal(), scal(), scal(),
+                    pl.BlockSpec((hb, 1, 8, ckp), lambda hh, cc: (hh, cc, 0, 0)),
                     pl.BlockSpec((hb, hl, wl * d), lambda hh, cc: (hh, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec(
@@ -290,7 +308,7 @@ def ms_deform_sample_pallas(
                 ),
                 out_shape=jax.ShapeDtypeStruct((h, n_chunks, chunk_l, d), jnp.float32),
                 interpret=interpret,
-            )(yi, fy, xi, fx, wv, plane)
+            )(packed, plane)
             lvl_out = lvl_out.reshape(h, n_chunks * chunk_l, d).transpose(1, 0, 2)
             out = out + lvl_out[:lq]
         return out

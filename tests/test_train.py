@@ -115,6 +115,135 @@ class TestTraining:
         # overfit sanity: loss must be finite; store for eval test
         TestTraining.trained = (cfg, meta, model, state)
 
+    def test_k_step_chain_exact_on_deterministic_model(self, tmp_path):
+        """Chain mechanics are EXACTLY K sequential steps on a model with no
+        discrete selection: per-step RNG folding, stabilizer rolling-mean
+        propagation, and the in-chain divergence skip all ride TrainState.
+
+        (The full RCNN3D comparison below is necessarily loose: Gumbel
+        top-k ROI sampling turns ~1e-7 cross-program float noise between
+        the scan-body compile and the standalone compile into discretely
+        different sampled ROI sets after the first step.)"""
+        import copy
+        from flax import linen as nn
+        from threedod.config import Config
+        from threedod.data.batch import Batch, split_superbatch
+        from threedod.parallel.mesh import shard_superbatch
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, batch, train=False):
+                w = self.param("w", nn.initializers.ones, (4,))
+                noise = jax.random.normal(self.make_rng("sampling"), (4,)) * 0.01
+                x = batch.image.astype(jnp.float32).mean()
+                loss = ((w + noise).sum() - x) ** 2
+                return {"toy": loss}, {"metric/x": x}
+
+        cfg = Config()
+        cfg.output_dir = str(tmp_path)
+        cfg.model.use_bn = False
+        cfg.solver.type = "sgd"
+        cfg.solver.base_lr = 0.01
+        cfg.solver.warmup_iters = 0
+        cfg.solver.ims_per_batch = 8
+
+        K = 5
+        rng = np.random.RandomState(0)
+        img = rng.rand(K, 8, 8, 8, 3).astype(np.float32)
+        img[2] = np.nan  # step 2 must divergence-skip inside the chain
+        sb = Batch(
+            image=img,
+            image_hw=np.full((K, 8, 2), 8, np.int32),
+            K=np.tile(np.eye(3, dtype=np.float32), (K, 8, 1, 1)),
+            im_scale_ratio=np.ones((K, 8), np.float32),
+            image_id=np.zeros((K, 8), np.int32),
+        )
+        singles = split_superbatch(sb, K)
+
+        mesh = make_mesh()
+        trainer = Trainer(cfg, Toy(), mesh=mesh)
+        base_key = jax.random.PRNGKey(cfg.seed)
+
+        stateA = trainer.init_state(jax.random.PRNGKey(0), singles[0])
+        step = trainer.make_train_step()
+        packedA = []
+        for b in singles:
+            stateA, out = step(stateA, shard_batch(b, mesh), base_key)
+            packedA.append(np.asarray(jax.device_get(out.packed)))
+        packedA = np.stack(packedA)
+
+        stateB = trainer.init_state(jax.random.PRNGKey(0), singles[0])
+        chain = trainer.make_train_step_k(K)
+        stateB, packedB = chain(stateB, shard_superbatch(sb, mesh), base_key)
+        packedB = np.asarray(jax.device_get(packedB))
+
+        # step 2 was skipped (divergence flag set), later steps continued
+        assert packedB[2, 1] > 0.5 and packedB[3, 1] < 0.5
+        np.testing.assert_allclose(packedA, packedB, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            jax.device_get(stateA.params)["w"], jax.device_get(stateB.params)["w"],
+            rtol=1e-6,
+        )
+        assert int(stateA.step) == int(stateB.step) == K
+
+    def test_k_step_chain_on_rcnn3d(self, synth_setup):
+        """K-chain on the real model: first step matches the single-step
+        program tightly; the whole chain runs finite to step K. (Cross-step
+        exactness is certified on the deterministic toy above — RCNN3D's
+        sampled ROI sets amplify cross-program float noise discretely.)"""
+        cfg, meta, priors = synth_setup
+        from threedod.data.batch import split_superbatch
+        from threedod.parallel.mesh import shard_superbatch
+
+        K = 4
+        model = build_model(cfg, priors=priors)
+        mesh = make_mesh()
+        dicts = CATALOG.get("synth_train")
+        loader = TrainLoader(dicts, cfg, seed=1, steps_per_batch=K)
+        sb = next(iter(loader))  # numpy-leaf (K, B, ...) superbatch
+        assert isinstance(sb.image, np.ndarray) and sb.image.shape[0] == K
+        singles = split_superbatch(sb, K)
+
+        trainer = Trainer(cfg, model, mesh=mesh)
+        base_key = jax.random.PRNGKey(cfg.seed)
+
+        stateA = trainer.init_state(jax.random.PRNGKey(0), singles[0])
+        step = trainer.make_train_step()
+        stateA, out0 = step(stateA, shard_batch(singles[0], mesh), base_key)
+        packed0 = np.asarray(jax.device_get(out0.packed))
+
+        stateB = trainer.init_state(jax.random.PRNGKey(0), singles[0])
+        chain = trainer.make_train_step_k(K)
+        stateB, packedB = chain(stateB, shard_superbatch(sb, mesh), base_key)
+        packedB = np.asarray(jax.device_get(packedB))
+
+        np.testing.assert_allclose(packed0, packedB[0], rtol=2e-4, atol=2e-5)
+        assert np.isfinite(packedB).all()
+        assert int(stateB.step) == K
+
+    def test_fit_with_steps_per_dispatch(self, synth_setup, tmp_path):
+        """fit() with K>1 runs chains + boundary-tail singles to completion."""
+        import copy
+
+        cfg, meta, priors = synth_setup
+        cfg2 = copy.deepcopy(cfg)
+        cfg2.output_dir = str(tmp_path)
+        cfg2.solver.max_iter = 8
+        cfg2.solver.steps_per_dispatch = 3  # 8 = 3 + 3 + 2-step tail
+        model = build_model(cfg2, priors=priors)
+        mesh = make_mesh()
+        trainer = Trainer(cfg2, model, mesh=mesh)
+        dicts = CATALOG.get("synth_train")
+        loader = TrainLoader(dicts, cfg2, seed=0, steps_per_batch=3)
+        sample = next(iter(loader))
+        from threedod.data.batch import split_superbatch
+
+        state = trainer.init_state(jax.random.PRNGKey(0), split_superbatch(sample, 3)[0])
+        state, ok = trainer.fit(state, loader, start_iter=0)
+        assert ok
+        assert int(state.step) == cfg2.solver.max_iter
+        assert os.path.exists(os.path.join(cfg2.output_dir, "metrics.json"))
+
     def test_eval_pipeline(self, synth_setup):
         cfg, meta, model, state = TestTraining.trained
         variables = {"params": state.params, "batch_stats": state.batch_stats}

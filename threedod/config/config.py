@@ -32,6 +32,12 @@ class SolverConfig:
     warmup_factor: float = 1.0 / 1000
     clip_gradients: float = 0.0  # 0 = off; else clip norm value
     checkpoint_period: int = 4000
+    # host-loop batching: chain this many train steps inside ONE jitted
+    # dispatch (lax.scan over a (K, B, ...) superbatch). Amortizes the
+    # per-call host/relay round-trip K-fold; semantics are identical to K
+    # sequential steps (stabilizer state rides TrainState through the
+    # chain). 1 = classic one-step dispatch.
+    steps_per_dispatch: int = 1
 
 
 @dataclass

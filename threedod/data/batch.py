@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -79,14 +80,42 @@ def normalize_image(image, model_cfg, image_hw=None):
             rows = jnp.arange(h)[None, :, None] < image_hw[:, 0, None, None]
             cols = jnp.arange(w)[None, None, :] < image_hw[:, 1, None, None]
             out = out * (rows & cols)[..., None]
+        # store at the trunk's compute dtype: the first conv casts its
+        # input anyway (bf16 trunks), so writing the normalized canvas in
+        # f32 only doubled its HBM write+read (~0.8 ms/step "stem prep" in
+        # the DESIGN 13 trace). The arithmetic stays f32; only the store
+        # rounds — exactly what the conv's own cast produced before.
+        if getattr(model_cfg, "dtype", "float32") == "bfloat16":
+            out = out.astype(jnp.bfloat16)
         return out
     return image
 
 
-def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
-    """Stack mapper outputs (numpy dicts) into one padded Batch."""
+def collate(
+    samples: list,
+    max_gt: int,
+    with_maps: bool = False,
+    steps: Optional[int] = None,
+    as_numpy: bool = False,
+) -> Batch:
+    """Stack mapper outputs (numpy dicts) into one padded Batch.
+
+    ``steps=K`` builds a K-step *superbatch* for the trainer's chained
+    dispatch: ``len(samples)`` must be K*B and every leaf gains a leading
+    (K, B, ...) layout — a free reshape of the one stacking pass, not an
+    extra copy. ``as_numpy`` keeps leaves as host numpy (the K-step path
+    transfers at dispatch time via shard_superbatch so row-slicing tail
+    steps stays free host-side).
+    """
     b = len(samples)
-    h, w = samples[0]["image"].shape[:2]
+    if steps:
+        assert b % steps == 0, (b, steps)
+
+    def wrap(a):
+        if steps:
+            a = a.reshape((steps, b // steps) + a.shape[1:])
+        return a if as_numpy else jnp.asarray(a)
+
     image = np.stack([s["image"] for s in samples])  # uint8 from the mapper
     image_hw = np.stack([s["image_hw"] for s in samples]).astype(np.int32)
     K = np.stack([s["K"] for s in samples]).astype(np.float32)
@@ -116,29 +145,37 @@ def collate(samples: list, max_gt: int, with_maps: bool = False) -> Batch:
                 n = min(len(s["gt_masks"]), max_gt)
                 if n:
                     m_arr[i, :n] = (np.asarray(s["gt_masks"][:n]) > 0.5).astype(np.uint8)
-            masks = jnp.asarray(m_arr)
+            masks = wrap(m_arr)
         gt = GroundTruth(
-            boxes2d=jnp.asarray(boxes2d),
-            classes=jnp.asarray(classes),
-            boxes3d=jnp.asarray(boxes3d),
-            poses=jnp.asarray(poses),
-            valid=jnp.asarray(valid),
+            boxes2d=wrap(boxes2d),
+            classes=wrap(classes),
+            boxes3d=wrap(boxes3d),
+            poses=wrap(poses),
+            valid=wrap(valid),
             masks=masks,
         )
 
     depth_map = ground_map = None
     if with_maps and "depth_map" in samples[0] and samples[0]["depth_map"] is not None:
-        depth_map = jnp.asarray(np.stack([s["depth_map"] for s in samples]).astype(np.float16))
+        depth_map = wrap(np.stack([s["depth_map"] for s in samples]).astype(np.float16))
     if with_maps and "ground_map" in samples[0] and samples[0]["ground_map"] is not None:
-        ground_map = jnp.asarray(np.stack([s["ground_map"] for s in samples]).astype(np.uint8))
+        ground_map = wrap(np.stack([s["ground_map"] for s in samples]).astype(np.uint8))
 
     return Batch(
-        image=jnp.asarray(image),
-        image_hw=jnp.asarray(image_hw),
-        K=jnp.asarray(K),
-        im_scale_ratio=jnp.asarray(ratio),
-        image_id=jnp.asarray(image_id),
+        image=wrap(image),
+        image_hw=wrap(image_hw),
+        K=wrap(K),
+        im_scale_ratio=wrap(ratio),
+        image_id=wrap(image_id),
         gt=gt,
         depth_map=depth_map,
         ground_map=ground_map,
     )
+
+
+def split_superbatch(batch: Batch, k: int):
+    """Row-slice a (K, B, ...) numpy superbatch into K single Batches.
+
+    Used only for boundary-tail steps that can't fill a whole K-chain;
+    numpy row views are free."""
+    return [jax.tree_util.tree_map(lambda a: a[i], batch) for i in range(k)]

@@ -69,6 +69,8 @@ class TrainLoader:
         load_maps: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        steps_per_batch: int = 1,
+        transfer_fn=None,
     ):
         assert len(dataset_dicts) > 0, "empty dataset"
         self.dicts = dataset_dicts
@@ -76,6 +78,17 @@ class TrainLoader:
         self.batch_size = batch_size or cfg.solver.ims_per_batch
         self.max_gt = cfg.shapes.max_gt
         self.load_maps = load_maps
+        # K>1: yield (K, B, ...) numpy superbatches for the trainer's
+        # chained K-step dispatch (one stacking pass; transfer happens at
+        # dispatch via shard_superbatch)
+        self.steps_per_batch = max(1, int(steps_per_batch))
+        # optional post-collate hook applied INSIDE the prefetch thread.
+        # NOTE: do NOT use this for device_put over the axon relay — a
+        # worker-thread transfer concurrent with main-thread compile/exec
+        # RPCs wedges the relay client (observed as a full stall, round 5);
+        # the trainer overlaps transfers by STAGING the next superbatch in
+        # the main thread right after an async chain dispatch instead.
+        self.transfer_fn = transfer_fn
         self.rng = np.random.RandomState(seed)
         self.mapper = DatasetMapper3D(cfg, is_train=True, load_maps=load_maps, rng=self.rng)
 
@@ -89,10 +102,17 @@ class TrainLoader:
         self._thread.start()
 
     def _worker(self):
+        k = self.steps_per_batch
         while True:
-            idx = self.rng.choice(len(self.dicts), size=self.batch_size, p=self.probs)
+            idx = self.rng.choice(len(self.dicts), size=k * self.batch_size, p=self.probs)
             samples = list(self._pool.map(lambda i: self.mapper(self.dicts[i]), idx))
-            self._queue.put(collate(samples, self.max_gt, with_maps=self.load_maps))
+            batch = collate(
+                samples, self.max_gt, with_maps=self.load_maps,
+                steps=k if k > 1 else None, as_numpy=k > 1,
+            )
+            if self.transfer_fn is not None:
+                batch = self.transfer_fn(batch)
+            self._queue.put(batch)
 
     def __iter__(self) -> Iterator[Batch]:
         while True:

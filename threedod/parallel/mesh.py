@@ -101,3 +101,23 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
         return replicate_local(x, mesh)
 
     return jax.tree.map(place, batch)
+
+
+def shard_superbatch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a (K, B, ...) superbatch with axis-1 (per-step batch) sharding.
+
+    The leading K axis is the `lax.scan` step axis of the trainer's chained
+    dispatch and stays unsharded; each step's batch shards over the mesh
+    exactly as in shard_batch."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    n = mesh.devices.size
+
+    def place(x):
+        if x is None:
+            return None
+        ok = hasattr(x, "shape") and x.ndim >= 2 and x.shape[1] % n == 0
+        if ok:
+            return jax.device_put(x, sharding)
+        return replicate_local(x, mesh)
+
+    return jax.tree.map(place, batch)

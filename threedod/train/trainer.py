@@ -26,6 +26,17 @@ single stacked transfer at window/checkpoint/eval boundaries. Over the TPU
 relay this removes a full host<->device round-trip per iteration and lets
 the (single-core) host data pipeline overlap with device execution —
 measured 7.8-9.2 it/s -> device-bound with the same step program.
+
+Two deliberate parity drifts of the async loop (advisor round 4):
+  * The RETRY decision (exploding-iteration fraction >= STABILIZE) is
+    evaluated at drain boundaries (window/eval/checkpoint), not every
+    iteration as the reference does — up to window-1 extra steps may
+    dispatch after the threshold is crossed. Parameters stay safe (the
+    in-jit skip zeroes diverging updates); only the restart fires later.
+  * `TrainState.stab` was added in round 4, which changes the checkpoint
+    pytree: round-3-era checkpoints do not restore through
+    resume_or_load's abstract tree (structure mismatch). Format break,
+    intentional; re-export old runs via params-only model_zoo loading.
 """
 from __future__ import annotations
 
@@ -41,7 +52,8 @@ from flax import struct
 
 from jax.flatten_util import ravel_pytree
 
-from ..parallel.mesh import make_mesh_for_batch, replicate_local, shard_batch
+from ..data.batch import split_superbatch
+from ..parallel.mesh import make_mesh_for_batch, replicate_local, shard_batch, shard_superbatch
 from .checkpoint import CheckpointManager
 from .events import EventStorage
 from .solver import build_flat_optimizer, build_optimizer, host_lr
@@ -100,6 +112,7 @@ class Trainer:
         self.optimizer, self.schedule = None, None
         self.flat_opt = False
         self._train_step = None
+        self._train_step_chain = None  # compiled K-step scan (fit with K>1)
         # (loss_keys, metric_keys) captured at first trace of the step; fixes
         # the layout of StepOut.packed for the async drain in fit().
         self._scalar_keys = None
@@ -144,13 +157,16 @@ class Trainer:
         return replicate_local(state, self.mesh)
 
     # ------------------------------------------------------------------
-    def make_train_step(self) -> Callable:
-        """Jitted `step(state, batch, base_key) -> (new_state, StepOut)`.
+    def _step_body(self) -> Callable:
+        """Raw (unjitted) `step(state, batch, base_key) -> (state, StepOut)`.
 
         The per-iteration RNG is derived in-jit as fold_in(base_key,
         state.step), so the host passes the SAME base key array every call
         (no per-iteration key split / transfer). The stabilizer decision and
-        its rolling-mean update both run in-jit from state.stab."""
+        its rolling-mean update both run in-jit from state.stab — which also
+        makes the body directly chainable under lax.scan (make_train_step_k):
+        divergence skips and the rolling mean propagate step-to-step with no
+        host involvement."""
         model = self.model
         optimizer = self.optimizer
         flat_opt = self.flat_opt
@@ -257,7 +273,36 @@ class Trainer:
             )
             return new_state, out
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def make_train_step(self) -> Callable:
+        """Jitted single step, state donated."""
+        return jax.jit(self._step_body(), donate_argnums=(0,))
+
+    def make_train_step_k(self, k: int) -> Callable:
+        """Jitted K-step chain: `(state, superbatch, base_key) -> (state,
+        packed(K, S))`.
+
+        `superbatch` leaves carry a leading (K, B, ...) step axis (see
+        data.batch.collate(steps=K)); the chain is a lax.scan of the single
+        step body, so the compiled program stays single-step-sized (no K-fold
+        HLO growth — large fused programs break the relay compile RPC) while
+        one host dispatch covers K iterations. Numerically identical to K
+        sequential single-step calls: the RNG key is fold_in(base_key,
+        state.step) in-jit and the stabilizer rides TrainState
+        (tests/test_train.py::test_k_step_chain_matches_singles).
+        """
+        body = self._step_body()
+
+        def multi_step(state: TrainState, superbatch, base_key):
+            def scan_body(st, b):
+                st2, out = body(st, b, base_key)
+                return st2, out.packed
+
+            state, packed = jax.lax.scan(scan_body, state, superbatch)
+            return state, packed
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def fit(
@@ -278,7 +323,10 @@ class Trainer:
         (loader wait, dispatch, drain) is logged as perf/* scalars."""
         cfg = self.cfg
         max_iter = cfg.solver.max_iter
-        if self._train_step is None:
+        K = max(1, int(getattr(cfg.solver, "steps_per_dispatch", 1)))
+        if K > 1 and self._train_step_chain is None:
+            self._train_step_chain = self.make_train_step_k(K)
+        if K == 1 and self._train_step is None:
             self._train_step = self.make_train_step()
         storage = storage or EventStorage(cfg.output_dir)
         ckpt = CheckpointManager(cfg.output_dir, cfg.solver.checkpoint_period, max_iter)
@@ -291,7 +339,7 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.seed)
 
         t_loader = t_dispatch = t_drain = 0.0
-        pending: list = []  # [(iteration, packed_device_vec)]
+        pending: list = []  # [(start_iteration, n_steps, packed (n, S))]
 
         def drain():
             """One stacked transfer for all buffered scalars; returns the
@@ -300,10 +348,13 @@ class Trainer:
             if not pending:
                 return True
             t0 = time.perf_counter()
-            vals = np.asarray(jax.device_get(jnp.stack([p for _, p in pending])))
+            vals = np.asarray(jax.device_get(
+                jnp.concatenate([p for _, _, p in pending], axis=0)
+            ))
             t_drain += time.perf_counter() - t0
             lkeys, mkeys = self._scalar_keys
-            rows = [(it, v) for (it, _), v in zip(pending, vals)]
+            its = [it0 + j for it0, n, _ in pending for j in range(n)]
+            rows = list(zip(its, vals))
             pending.clear()
             for it, v in rows:
                 total, book_div = float(v[0]), bool(v[1] > 0.5)
@@ -338,27 +389,76 @@ class Trainer:
 
         data_iter = iter(train_loader)
         iteration = start_iter
-        while iteration < max_iter:
-            t0 = time.perf_counter()
-            batch = next(data_iter)
-            t_loader += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            batch = shard_batch(batch, self.mesh)
-            state, out = self._train_step(state, batch, base_key)
-            pending.append((iteration, out.packed))
-            t_dispatch += time.perf_counter() - t0
+        tail: list = []  # leftover single batches of a split superbatch
+        staged = None  # next superbatch, already transferred to the mesh
 
-            nxt = iteration + 1
+        def stage():
+            """Fetch + shard the NEXT superbatch. Called right after an
+            (async) chain dispatch, so the host->device transfer overlaps
+            the device executing the K steps just dispatched — measured
+            23.4 ms/iter of synchronous device_put otherwise (K=10, bs8
+            over the relay). Single-threaded on purpose: a worker-thread
+            device_put concurrent with main-thread RPCs wedges the relay
+            client."""
+            nonlocal t_loader
+            t0 = time.perf_counter()
+            sb = shard_superbatch(next(data_iter), self.mesh)
+            t_loader += time.perf_counter() - t0
+            return sb
+
+        while iteration < max_iter:
+            # distance to the next boundary at which the host must look at
+            # scalars; a K-chain must end exactly there
+            to_b = max_iter - iteration
+            to_b = min(to_b, storage.window - iteration % storage.window)
+            if eval_fn is not None and cfg.test.eval_period > 0:
+                to_b = min(to_b, cfg.test.eval_period - iteration % cfg.test.eval_period)
+            to_b = min(to_b, ckpt.period - iteration % ckpt.period)
+
+            if K > 1 and to_b >= K and not tail:
+                if staged is None:
+                    staged = stage()
+                t0 = time.perf_counter()
+                state, packed = self._train_step_chain(state, staged, base_key)
+                pending.append((iteration, K, packed))
+                t_dispatch += time.perf_counter() - t0
+                iteration += K
+                staged = None
+                if iteration < max_iter:
+                    staged = stage()  # transfer rides the running chain
+            else:
+                t0 = time.perf_counter()
+                if K > 1:
+                    if not tail:
+                        if staged is not None:
+                            sb, staged = staged, None
+                        else:
+                            sb = next(data_iter)
+                        tail = split_superbatch(sb, K)
+                    batch = tail.pop(0)
+                else:
+                    batch = next(data_iter)
+                t_loader += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                batch = shard_batch(batch, self.mesh)
+                if self._train_step is None:
+                    self._train_step = self.make_train_step()
+                state, out = self._train_step(state, batch, base_key)
+                pending.append((iteration, 1, out.packed[None, :]))
+                t_dispatch += time.perf_counter() - t0
+                iteration += 1
+
+            nxt = iteration  # chunks end exactly on boundaries
             eval_due = (
                 eval_fn is not None
                 and cfg.test.eval_period > 0
                 and nxt % cfg.test.eval_period == 0
-                and iteration != max_iter - 1
+                and nxt != max_iter
             )
-            ckpt_due = nxt % ckpt.period == 0 or iteration >= max_iter - 1
+            ckpt_due = nxt % ckpt.period == 0 or nxt >= max_iter
             boundary = (
                 nxt % storage.window == 0
-                or iteration == max_iter - 1
+                or nxt >= max_iter
                 or eval_due
                 or ckpt_due
             )
@@ -374,7 +474,7 @@ class Trainer:
                 if retry:
                     logger.warning(
                         "!! Restarting training at %d iters. Exploding loss %d%% of iters !!",
-                        iteration, int(100 * iterations_explode / total_iters),
+                        nxt - 1, int(100 * iterations_explode / total_iters),
                     )
                     return state, False
 
@@ -389,9 +489,8 @@ class Trainer:
                     iterations_explode / max(total_iters, 1) < 0.5 * cfg.model.stabilize
                     or cfg.model.stabilize <= 0
                 ):
-                    ckpt.step(iteration, {"state": jax.device_get(state), "iteration": iteration})
-
-            iteration += 1
+                    it_done = nxt - 1  # last executed iteration index
+                    ckpt.step(it_done, {"state": jax.device_get(state), "iteration": it_done})
 
         drain()
         return state, True

@@ -320,11 +320,17 @@ class TestWireDtypes:
         out = np.asarray(normalize_image(jnp.asarray(raw), cfg.model, jnp.asarray(hw)))
         assert np.all(out[0, 6:] == 0.0)
         assert np.all(out[1, :, 7:] == 0.0)
-        # valid region matches the plain normalization
+        # valid region matches the plain normalization, stored at the
+        # model's compute dtype (bf16 for the default config since round 5
+        # — the arithmetic is f32, only the store rounds)
         mean = np.asarray(cfg.model.pixel_mean, np.float32)
         std = np.asarray(cfg.model.pixel_std, np.float32)
+        expect = (raw[0, :6].astype(np.float32) - mean) / std
+        if cfg.model.dtype == "bfloat16":
+            expect = np.asarray(jnp.asarray(expect).astype(jnp.bfloat16))
+            assert out.dtype == np.dtype("float32") or str(out.dtype) == "bfloat16"
         np.testing.assert_allclose(
-            out[0, :6], (raw[0, :6].astype(np.float32) - mean) / std, atol=1e-5
+            out[0, :6].astype(np.float32), expect.astype(np.float32), atol=1e-5
         )
 
     def test_collate_ships_compact_dtypes(self):

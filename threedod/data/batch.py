@@ -88,6 +88,10 @@ def normalize_image(image, model_cfg, image_hw=None):
         if getattr(model_cfg, "dtype", "float32") == "bfloat16":
             out = out.astype(jnp.bfloat16)
         return out
+    # already-normalised float inputs take the same store-dtype rule so the
+    # two wire paths stay bit-identical for bf16 models
+    if getattr(model_cfg, "dtype", "float32") == "bfloat16":
+        return image.astype(jnp.bfloat16)
     return image
 
 

@@ -40,6 +40,33 @@ def space_to_depth(x: jnp.ndarray, b: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // b, W // b, b * b * C)
 
 
+def space_to_depth_conv(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """space_to_depth computed as a stride-b one-hot conv (same values).
+
+    The reshape-transpose form leaves XLA a 6-D transpose with a 3-lane
+    minor dimension, which it lowers as two large layout copies (~0.8
+    ms/step on the bs8 512x672 stem); expressing the identical permutation
+    as a conv with a one-hot (b, b, C, b*b*C) kernel rides the conv
+    emitter's im2col path instead. Exact for finite inputs: each output
+    element is v*1 + 0*others accumulated in f32 (precision=HIGHEST keeps
+    the f32 path from splitting v's mantissa).
+    """
+    B, H, W, C = x.shape
+    k = np.zeros((b, b, C, b * b * C), x.dtype)
+    for dy in range(b):
+        for dx in range(b):
+            for c in range(C):
+                k[dy, dx, c, (dy * b + dx) * C + c] = 1
+    return jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(k),
+        window_strides=(b, b),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def depth_to_space(x: jnp.ndarray, b: int) -> jnp.ndarray:
     """Inverse of space_to_depth."""
     B, H, W, C = x.shape

@@ -20,6 +20,7 @@ from .block_conv import (
     block_conv_kernel,
     depth_to_space,
     space_to_depth,
+    space_to_depth_conv,
     tile_block_channels,
 )
 from .layers import ConvBN, ConvBNParams, fold_convbn, max_pool
@@ -339,7 +340,7 @@ class DLA(nn.Module):
         fast_l2 = fast and self.levels[2] == 1 and self.block is BasicBlock
         outs = {}
         if fast:
-            y = space_to_depth(x.astype(self.dtype), 4)
+            y = space_to_depth_conv(x.astype(self.dtype), 4)
             y = block_convbn(
                 ConvBNParams(ch[0], 7, 3, name="base_layer"), y, 3, 1, 4, 4, train, self.dtype
             )

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen.dtypes import promote_dtype
 
 from ..geometry.rotations import (
     euler_xyz_to_matrix,
@@ -32,17 +34,63 @@ def _normal(std):
     return nn.initializers.normal(stddev=std)
 
 
+class SpatialPadDense(nn.Module):
+    """First FC over flattened pooled ROI features, accepting spatially
+    over-pooled input.
+
+    The TPU ROIAlign kernel emits an (S+1)x(S+1) pool grid (its window math
+    is 8-sublane aligned); slicing it back to SxS before the FC costs a
+    full-tensor slice + relayout copy (~1.3 ms/step at inference ROI
+    counts). Instead the head consumes the padded grid directly: params
+    are declared at the valid S*S*C width (identical tree/init/apply to
+    ``nn.Dense`` on the sliced input — parity suites and the zoo converter
+    see no difference), and at apply time the kernel is zero-padded to the
+    input's grid, so the extra rows contribute exactly 0 to every f32
+    partial sum (finite inputs; 0-products are exact).
+    """
+
+    features: int
+    valid_hw: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, hp, wp, c = x.shape
+        vh = self.valid_hw
+        kernel = self.param("kernel", self.kernel_init, (vh * vh * c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x2 = x.reshape(n, hp * wp * c)
+        x2, kernel, bias = promote_dtype(x2, kernel, bias, dtype=self.dtype)
+        if (hp, wp) != (vh, vh):
+            kernel = jnp.pad(
+                kernel.reshape(vh, vh, c, self.features),
+                ((0, hp - vh), (0, wp - vh), (0, 0), (0, 0)),
+            ).reshape(hp * wp * c, self.features)
+        return jax.lax.dot_general(x2, kernel, (((1,), (0,)), ((), ()))) + bias
+
+
 class BoxHeadMLP(nn.Module):
     """Pooled ROI features -> fc feature vector (FastRCNNConvFCHead)."""
 
     num_fc: int = 2
     fc_dim: int = 1024
     dtype: Any = jnp.float32
+    pool_hw: int | None = None  # valid pool grid; enables spatial-pad input
 
     @nn.compact
     def __call__(self, x):
-        x = x.reshape(x.shape[0], -1)
-        for i in range(self.num_fc):
+        start = 0
+        if x.ndim == 4 and self.pool_hw is not None and self.num_fc > 0:
+            x = nn.relu(
+                SpatialPadDense(
+                    self.fc_dim, self.pool_hw, _xavier(), self.dtype, name="fc1"
+                )(x)
+            )
+            start = 1
+        else:
+            x = x.reshape(x.shape[0], -1)
+        for i in range(start, self.num_fc):
             x = nn.Dense(self.fc_dim, kernel_init=_xavier(), dtype=self.dtype, name=f"fc{i + 1}")(x)
             x = nn.relu(x)
         return x
@@ -81,10 +129,17 @@ class CubeHeadNet(nn.Module):
     cluster_bins: int = 1
     use_confidence: float = 1.0
     dtype: Any = jnp.float32
+    pool_hw: int | None = None  # valid pool grid; enables spatial-pad input
 
     def _fc_stack(self, x, name):
         for i in range(self.num_fc):
-            x = nn.Dense(self.fc_dim, kernel_init=_xavier(), dtype=self.dtype, name=f"{name}_fc{i + 1}")(x)
+            if i == 0 and x.ndim == 4:
+                x = SpatialPadDense(
+                    self.fc_dim, self.pool_hw, _xavier(), self.dtype,
+                    name=f"{name}_fc1",
+                )(x)
+            else:
+                x = nn.Dense(self.fc_dim, kernel_init=_xavier(), dtype=self.dtype, name=f"{name}_fc{i + 1}")(x)
             x = nn.relu(x)
         return x
 
@@ -92,7 +147,8 @@ class CubeHeadNet(nn.Module):
     def __call__(self, x):
         n = x.shape[0]
         c = self.num_classes
-        x = x.reshape(n, -1)
+        if not (x.ndim == 4 and self.pool_hw is not None and self.num_fc > 0):
+            x = x.reshape(n, -1)
 
         if self.shared_fc:
             feat = self._fc_stack(x, "shared")
@@ -147,11 +203,17 @@ class ScoreHeadNet(nn.Module):
     """ScoreNet MLP head (cube_head.py:205-239): features -> Cubes params."""
 
     dtype: Any = jnp.float32
+    pool_hw: int | None = None  # valid pool grid; enables spatial-pad input
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        x = nn.relu(nn.Dense(256, name="fc1")(x))
+        if x.ndim == 4 and self.pool_hw is not None:
+            x = nn.relu(
+                SpatialPadDense(256, self.pool_hw, name="fc1")(x.astype(jnp.float32))
+            )
+        else:
+            x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+            x = nn.relu(nn.Dense(256, name="fc1")(x))
         x = nn.Dense(128, name="fc2")(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         x = nn.relu(x)

@@ -96,6 +96,7 @@ class ROIHeads3D(nn.Module):
             num_fc=c.model.roi_box_head.num_fc,
             fc_dim=c.model.roi_box_head.fc_dim,
             dtype=head_dtype,
+            pool_hw=c.model.roi_box_head.pooler_resolution,
         )
         self.box_predictor = BoxPredictor(num_classes=self.num_classes)
         self.transform = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
@@ -110,6 +111,7 @@ class ROIHeads3D(nn.Module):
                 cluster_bins=ch.cluster_bins,
                 use_confidence=ch.use_confidence,
                 dtype=head_dtype,
+                pool_hw=ch.pooler_resolution,
             )
             C, bins = self.num_classes, max(ch.cluster_bins, 1)
             if ch.dims_priors_enabled and self.priors is not None:
@@ -198,8 +200,15 @@ class ROIHeads3D(nn.Module):
             # step went to its per-image dynamic-slices + layout copies).
             from ..ops.roi_align_pallas import multilevel_roi_align_tpu
 
+            # spatial_pad=True (heads consume the kernel's padded 8x8 grid
+            # via SpatialPadDense, skipping the 7x7 slice+relayout) measured
+            # NEUTRAL in-model on v5e (26.57 vs 26.57 ms/step bracketed,
+            # detections bit-identical — DESIGN 17); per the two-stage gate
+            # the simpler sliced program ships. The padded path stays
+            # tested (tests/test_layout_equiv.py) for a future toolchain.
             pooled = multilevel_roi_align_tpu(
-                features, boxes, output_size=resolution, sampling_ratio=sampling
+                features, boxes, output_size=resolution,
+                sampling_ratio=sampling, spatial_pad=False,
             )
             return debug.sg("pool", pooled.astype(jnp.float32))
 

@@ -103,10 +103,13 @@ class RPNHead(nn.Module):
                     out = fused_conv.conv_relu_head_reference(
                         f.astype(self.dtype), wc, bc, wh, bh
                     )
-                logits[name] = out[..., :a].reshape(b, h * w * a).astype(jnp.float32)
-                regs[name] = (
-                    out[..., a:].reshape(b, h * w * a, 4).astype(jnp.float32)
-                )
+                # emit at the head's compute dtype: values are dtype-born,
+                # so the f32 cast adds no information but doubles the
+                # (B, HWA, 4) layout-copy traffic; consumers cast the few
+                # thousand post-top-k rows (predict_proposals) or fold the
+                # cast into the loss elementwise fusion (losses).
+                logits[name] = out[..., :a].reshape(b, h * w * a)
+                regs[name] = out[..., a:].reshape(b, h * w * a, 4)
             return logits, regs
         conv = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="conv")
         obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="objectness_logits")
@@ -114,8 +117,8 @@ class RPNHead(nn.Module):
         for name, f in features.items():
             t = nn.relu(conv(f))
             b, h, w, _ = t.shape
-            logits[name] = obj(t).reshape(b, h * w * self.num_anchors).astype(jnp.float32)
-            regs[name] = deltas(t).reshape(b, h * w * self.num_anchors, 4).astype(jnp.float32)
+            logits[name] = obj(t).reshape(b, h * w * self.num_anchors)
+            regs[name] = deltas(t).reshape(b, h * w * self.num_anchors, 4)
         return logits, regs
 
 
@@ -156,8 +159,12 @@ class RPN:
         train: bool = True,
     ):
         r = self.cfg_rpn
-        logits_cat = jnp.concatenate([logits[f] for f in self.in_features], axis=1)
-        regs_cat = jnp.concatenate([regs[f] for f in self.in_features], axis=1)
+        logits_cat = jnp.concatenate(
+            [logits[f] for f in self.in_features], axis=1
+        ).astype(jnp.float32)
+        regs_cat = jnp.concatenate(
+            [regs[f] for f in self.in_features], axis=1
+        ).astype(jnp.float32)
         b = logits_cat.shape[0]
 
         def per_image(key_i, gtb, gtc, gtv):
@@ -250,29 +257,64 @@ class RPN:
         pre_k = r.pre_nms_topk_train if train else r.pre_nms_topk_test
         post_k = r.post_nms_topk_train if train else r.post_nms_topk_test
 
+        # one NMS instance per (image, level), run as a SINGLE vmapped call:
+        # five separate per-level while-loops cost ~5x the fixpoint's fixed
+        # per-round overhead; merged lanes share rounds (extra rounds on an
+        # already-converged lane are no-ops, so keeps are bit-identical).
+        # Short levels are padded to the longest level's candidate count
+        # with score=-inf/valid=False rows, which sort last and can neither
+        # keep nor suppress; pads only shift absolute concat indices, never
+        # the relative order of real entries, so the post-NMS top-k
+        # tie-break (stable, index-ordered) selects the same proposals.
+        k_max = max(min(pre_k, logits[f].shape[1]) for f in self.in_features)
+
         def per_image(lg_levels, rg_levels, hw):
-            all_boxes, all_scores, all_keep = [], [], []
+            all_boxes, all_scores, all_valid = [], [], []
             for f, lg, rg in zip(self.in_features, lg_levels, rg_levels):
                 k = min(pre_k, lg.shape[0])
                 scores, idx = jax.lax.top_k(lg, k)
-                boxes = self.transform.apply_deltas(rg[idx], self.anchors[f][idx])
+                scores = scores.astype(jnp.float32)
+                boxes = self.transform.apply_deltas(
+                    rg[idx].astype(jnp.float32), self.anchors[f][idx]
+                )
                 boxes = clip_boxes(boxes, hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype))
                 wh_valid = (boxes[:, 2] - boxes[:, 0] > r.min_box_size) & (
                     boxes[:, 3] - boxes[:, 1] > r.min_box_size
                 )
                 finite = jnp.isfinite(boxes).all(-1) & jnp.isfinite(scores)
-                keep = nms_mask(boxes, scores, r.nms_thresh, valid=wh_valid & finite)
+                if k < k_max:
+                    boxes = jnp.pad(boxes, ((0, k_max - k), (0, 0)))
+                    scores = jnp.pad(scores, (0, k_max - k), constant_values=-jnp.inf)
+                    finite = jnp.pad(wh_valid & finite, (0, k_max - k))
+                else:
+                    finite = wh_valid & finite
                 all_boxes.append(boxes)
                 all_scores.append(scores)
-                all_keep.append(keep)
-            boxes = jnp.concatenate(all_boxes, axis=0)
-            scores = jnp.concatenate(all_scores, axis=0)
-            keep = jnp.concatenate(all_keep, axis=0)
-            masked = jnp.where(keep, scores, -jnp.inf)
-            top_scores, top_idx = jax.lax.top_k(masked, post_k)
-            return boxes[top_idx], top_scores, jnp.isfinite(top_scores)
+                all_valid.append(finite)
+            return (
+                jnp.stack(all_boxes, 0),
+                jnp.stack(all_scores, 0),
+                jnp.stack(all_valid, 0),
+            )
 
         lg_stack = [logits[f] for f in self.in_features]
         rg_stack = [regs[f] for f in self.in_features]
+        # (B, L, K, 4) / (B, L, K)
         boxes, scores, valid = jax.vmap(per_image)(lg_stack, rg_stack, image_hw)
-        return Proposals(boxes=boxes, scores=scores, valid=valid)
+        b = boxes.shape[0]
+        lk = boxes.shape[1] * boxes.shape[2]
+        keep = jax.vmap(
+            lambda bx, sc, vd: nms_mask(bx, sc, r.nms_thresh, valid=vd)
+        )(
+            boxes.reshape(-1, k_max, 4),
+            scores.reshape(-1, k_max),
+            valid.reshape(-1, k_max),
+        )
+        boxes = boxes.reshape(b, lk, 4)
+        scores = scores.reshape(b, lk)
+        masked = jnp.where(keep.reshape(b, lk), scores, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(masked, post_k)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        return Proposals(
+            boxes=top_boxes, scores=top_scores, valid=jnp.isfinite(top_scores)
+        )

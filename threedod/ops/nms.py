@@ -20,11 +20,27 @@ import jax.numpy as jnp
 from ..geometry.boxes2d import pairwise_iou
 
 
+def _pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (..., W*32) bool mask into (..., W) uint32 words (bit k of
+    word w = element w*32+k)."""
+    w = mask.shape[-1] // 32
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = mask.reshape(*mask.shape[:-1], w, 32).astype(jnp.uint32) * weights
+    return words.sum(-1, dtype=jnp.uint32)
+
+
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS keep-mask in the *given* order space.
 
     boxes (N, 4), scores (N,); returns keep (N,) bool. Invalid entries are
     never kept. N is static; sort + fixpoint rounds happen on device.
+
+    The suppression matrix is materialized ONCE as bitpacked uint32 words
+    ((N, N/32), 32x smaller than the pred matrix and ~32x smaller than the
+    f32 matmul form XLA otherwise rematerializes into every fixpoint
+    round); each Jacobi round is then a word-AND + any-reduce over the
+    packed words. Bit-identical to the unpacked recursion
+    `keep <- valid & ~any(sup & keep)` — only the storage changed.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -38,13 +54,23 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, vali
     earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
     sup = (iou > iou_threshold) & earlier & sorted_valid[None, :]
 
+    npad = -(-n // 32) * 32
+    if npad != n:
+        sup = jnp.pad(sup, ((0, 0), (0, npad - n)))
+    # barrier: keep the one-time pack from being fused (and the IoU matrix
+    # from being recomputed) inside the while body
+    supw = jax.lax.optimization_barrier(_pack_bits(sup))  # (N, W) uint32
+
     def cond(carry):
         keep, prev, first = carry
         return first | jnp.any(keep != prev)
 
     def body(carry):
         keep, _, _ = carry
-        new = sorted_valid & ~jnp.any(sup & keep[None, :], axis=1)
+        kpad = jnp.pad(keep, (0, npad - n)) if npad != n else keep
+        kw = _pack_bits(kpad)  # (W,)
+        hit = jnp.any((supw & kw[None, :]) != 0, axis=-1)
+        new = sorted_valid & ~hit
         return new, keep, jnp.zeros((), bool)
 
     keep_sorted, _, _ = jax.lax.while_loop(

@@ -468,6 +468,7 @@ def _pallas_forward(
     output_size: int = 7,
     strides: dict | None = None,
     sampling_ratio: int = 2,
+    spatial_pad: bool = False,
 ) -> jnp.ndarray:
     """Forward-only multilevel ROIAlign via the Pallas kernel.
 
@@ -573,8 +574,14 @@ def _pallas_forward(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=FORCE_INTERPRET,
     )(scal, scal, ay, ax, buf)
-    out = out.reshape(n_pad, S_PAD, S_PAD, c)[:n, :s, :s]
-    return out.reshape(b, p["n_img"], s, s, c) if p["batched"] else out
+    out = out.reshape(n_pad, S_PAD, S_PAD, c)[:n]
+    if not spatial_pad:
+        # the 8x8 -> 7x7 slice + its relayout copy cost ~1.3 ms/step at
+        # inference ROI counts; spatial_pad=True hands the padded grid to
+        # the heads (SpatialPadDense folds the selection into fc1's kernel)
+        out = out[:, :s, :s]
+    sp = out.shape[1]
+    return out.reshape(b, p["n_img"], sp, sp, c) if p["batched"] else out
 
 
 def _bwd_kernel(scal_ref, nxt_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
@@ -864,7 +871,8 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int):
+def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int,
+                 spatial_pad: bool = False):
     """custom_vjp wrapper: pallas_call is not auto-differentiable, and the
     train path differentiates pooling w.r.t. the FPN features (backbone
     gradients). Forward runs the window-DMA kernel; backward runs the
@@ -878,13 +886,21 @@ def _make_pooler(output_size: int, strides_t: tuple, sampling_ratio: int):
 
     @jax.custom_vjp
     def pool(features, boxes):
-        return _pallas_forward(features, boxes, output_size, strides, sampling_ratio)
+        return _pallas_forward(
+            features, boxes, output_size, strides, sampling_ratio,
+            spatial_pad=spatial_pad,
+        )
 
     def fwd(features, boxes):
         return pool(features, boxes), (features, boxes)
 
     def bwd(res, g):
         features, boxes = res
+        if spatial_pad:
+            # pad row/col gradients are exactly zero under the
+            # SpatialPadDense contract (zero-padded fc kernels); the
+            # backward kernel keeps its s x s interface
+            g = g[..., :output_size, :output_size, :]
         dfeat = _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio)
         return dfeat, jnp.zeros_like(boxes)
 
@@ -898,6 +914,7 @@ def multilevel_roi_align_tpu(
     output_size: int = 7,
     strides: dict | None = None,
     sampling_ratio: int = 2,
+    spatial_pad: bool = False,
 ) -> jnp.ndarray:
     """Differentiable drop-in multilevel ROIAlign (Pallas forward).
 
@@ -924,7 +941,10 @@ def multilevel_roi_align_tpu(
         if boxes.ndim == 3:
             return jax.vmap(fb)(features, boxes)
         return fb(features, boxes)
-    pool = _make_pooler(output_size, tuple(sorted(strides.items())), sampling_ratio)
+    pool = _make_pooler(
+        output_size, tuple(sorted(strides.items())), sampling_ratio,
+        spatial_pad=spatial_pad and output_size == S_PAD - 1,
+    )
     return pool(features, boxes)
 
 

@@ -52,6 +52,14 @@ FORCE_INTERPRET = False
 # enabled configuration on hardware every round.
 POOL_GROUP = 2
 
+# Level-buffer assembly form (see _pallas_forward): True = pad+concat the
+# levels into the Y-stacked plane, False = zeros + update-slice chain.
+# Values identical (interpret-parity pinned); the forms differ only in
+# which operands XLA relayouts for the kernel operand. Measured in-model
+# on v5e (bracketed, DESIGN 17): 26.19 / 26.64(DUS) / 26.96 ms/step —
+# noise-level, no confirmed win, so the incumbent DUS form stays default.
+BUFFER_CONCAT = False
+
 # Expanded-taps weight build (see _kernel/build_m): when True, the per-axis
 # tap weights arrive pre-broadcast to (R, S², WINDOW) rows (an XLA
 # broadcast outside the kernel — free fusion there; Mosaic can't lower the
@@ -489,11 +497,26 @@ def _pallas_forward(
     s = output_size
     b = p["b"]
 
-    buf = jnp.zeros((b, h_stack, w0, c), dtype)
-    for off, nm in zip(p["offs"], names):
-        fl = features[nm] if p["batched"] else features[nm][None]
-        h, w = fl.shape[1:3]
-        buf = buf.at[:, int(off) : int(off) + h, :w].set(fl)
+    if BUFFER_CONCAT:
+        # pad+concat instead of zeros + update-slice chain: the DUS chain
+        # inherits the conv outputs' batch-minor layout and XLA then
+        # relayouts the WHOLE ~200 MB plane for the kernel operand; a
+        # concat lets layout assignment place the target layout on the
+        # (smaller) per-level pads instead. Same values either way.
+        parts = []
+        for nm in names:
+            fl = features[nm] if p["batched"] else features[nm][None]
+            h, w = fl.shape[1:3]
+            parts.append(jnp.pad(fl, ((0, 0), (0, 0), (0, w0 - w), (0, 0))))
+        tail = h_stack - sum(p["hs"])
+        parts.append(jnp.zeros((b, tail, w0, c), dtype))
+        buf = jnp.concatenate(parts, axis=1)
+    else:
+        buf = jnp.zeros((b, h_stack, w0, c), dtype)
+        for off, nm in zip(p["offs"], names):
+            fl = features[nm] if p["batched"] else features[nm][None]
+            h, w = fl.shape[1:3]
+            buf = buf.at[:, int(off) : int(off) + h, :w].set(fl)
     buf = buf.reshape(b * h_stack, w0, c)
 
     ss = S_PAD * S_PAD

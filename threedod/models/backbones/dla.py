@@ -340,7 +340,14 @@ class DLA(nn.Module):
         fast_l2 = fast and self.levels[2] == 1 and self.block is BasicBlock
         outs = {}
         if fast:
-            y = space_to_depth_conv(x.astype(self.dtype), 4)
+            # mode-split s2d (values bit-equal either way, pinned by
+            # tests/test_layout_equiv.py): the conv form wins the TRAIN
+            # step (78.3 -> 76.0 ms, its one-hot transposed-conv backward
+            # beats the reshape chain's) but LOSES at eval (26.0 -> 26.7
+            # ms — XLA feeds the conv via a ~1 ms batch-minor image
+            # relayout the reshape form avoids). DESIGN 17b/17c.
+            s2d = space_to_depth_conv if train else space_to_depth
+            y = s2d(x.astype(self.dtype), 4)
             y = block_convbn(
                 ConvBNParams(ch[0], 7, 3, name="base_layer"), y, 3, 1, 4, 4, train, self.dtype
             )

@@ -26,7 +26,7 @@ from ..ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
 from .backbones.layers import ConvWithBiasParams
 from ..ops.matcher import match_and_ignore, subsample_fg_bg
 from ..ops import fused_conv
-from ..ops.nms import nms_mask
+from ..ops.nms import nms_mask, nms_sorted
 
 
 def generate_anchors(
@@ -303,18 +303,22 @@ class RPN:
         boxes, scores, valid = jax.vmap(per_image)(lg_stack, rg_stack, image_hw)
         b = boxes.shape[0]
         lk = boxes.shape[1] * boxes.shape[2]
-        keep = jax.vmap(
-            lambda bx, sc, vd: nms_mask(bx, sc, r.nms_thresh, valid=vd)
+        # select in per-level score-sorted space (nms_sorted): among equal
+        # scores the stable sort preserves original-index order within a
+        # level and the concat preserves level order, so the global top-k's
+        # index tie-break picks the same proposals in the same order as the
+        # original-order formulation — without the keep-scatter
+        sboxes, skey, keep = jax.vmap(
+            lambda bx, sc, vd: nms_sorted(bx, sc, r.nms_thresh, valid=vd)
         )(
             boxes.reshape(-1, k_max, 4),
             scores.reshape(-1, k_max),
             valid.reshape(-1, k_max),
         )
-        boxes = boxes.reshape(b, lk, 4)
-        scores = scores.reshape(b, lk)
-        masked = jnp.where(keep.reshape(b, lk), scores, -jnp.inf)
+        sboxes = sboxes.reshape(b, lk, 4)
+        masked = jnp.where(keep.reshape(b, lk), skey.reshape(b, lk), -jnp.inf)
         top_scores, top_idx = jax.lax.top_k(masked, post_k)
-        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        top_boxes = jnp.take_along_axis(sboxes, top_idx[..., None], axis=1)
         return Proposals(
             boxes=top_boxes, scores=top_scores, valid=jnp.isfinite(top_scores)
         )

@@ -29,11 +29,12 @@ def _pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
     return words.sum(-1, dtype=jnp.uint32)
 
 
-def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Greedy NMS keep-mask in the *given* order space.
+def _nms_core(boxes, scores, iou_threshold, valid):
+    """Shared greedy-NMS fixpoint in score-sorted space.
 
-    boxes (N, 4), scores (N,); returns keep (N,) bool. Invalid entries are
-    never kept. N is static; sort + fixpoint rounds happen on device.
+    Returns (order, sorted_boxes, sorted_key, keep_sorted) where
+    sorted_key = descending sort of `where(valid, scores, -inf)` (equal to
+    the true score on every valid — hence every kept — entry).
 
     The suppression matrix is materialized ONCE as bitpacked uint32 words
     ((N, N/32), 32x smaller than the pred matrix and ~32x smaller than the
@@ -43,9 +44,9 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, vali
     `keep <- valid & ~any(sup & keep)` — only the storage changed.
     """
     n = boxes.shape[0]
-    if valid is None:
-        valid = jnp.ones((n,), bool)
-    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    key = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-key)
+    sorted_key = key[order]
     sorted_boxes = boxes[order]
     sorted_valid = valid[order]
 
@@ -76,9 +77,41 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, vali
     keep_sorted, _, _ = jax.lax.while_loop(
         cond, body, (sorted_valid, sorted_valid, jnp.ones((), bool))
     )
+    return order, sorted_boxes, sorted_key, keep_sorted
+
+
+def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Greedy NMS keep-mask in the *given* order space.
+
+    boxes (N, 4), scores (N,); returns keep (N,) bool. Invalid entries are
+    never kept. N is static; sort + fixpoint rounds happen on device.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    order, _, _, keep_sorted = _nms_core(boxes, scores, iou_threshold, valid)
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep
+
+
+def nms_sorted(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, valid: jnp.ndarray | None = None):
+    """Greedy NMS returning (sorted_boxes, sorted_key, keep_sorted) in
+    score-DESCENDING space, skipping the scatter back to caller order.
+
+    For callers that only take a top-k over the kept set, selecting in
+    sorted space is exactly equivalent to selecting in the original order
+    (and saves the keep-scatter, ~0.7 ms/step at RPN shapes): among
+    equal-valued entries the stable argsort orders ranks by original
+    index, so top-k's index tie-break picks the same winners in the same
+    output order either way. sorted_key equals the true score on every
+    kept entry (-inf on invalid/padded ones).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    _, sorted_boxes, sorted_key, keep_sorted = _nms_core(boxes, scores, iou_threshold, valid)
+    return sorted_boxes, sorted_key, keep_sorted
 
 
 def nms_mask_blocked(

@@ -50,14 +50,20 @@ def _nms_core(boxes, scores, iou_threshold, valid):
     sorted_boxes = boxes[order]
     sorted_valid = valid[order]
 
-    iou = pairwise_iou(sorted_boxes, sorted_boxes)  # (N, N)
-    # sup[i, j]: candidate j (earlier in score order, valid) can suppress i
-    earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
-    sup = (iou > iou_threshold) & earlier & sorted_valid[None, :]
-
+    # pad the word axis BEFORE building the matrix: padding the (N, 4)
+    # boxes/valid costs bytes, padding the (N, N) pred matrix afterwards
+    # materializes a full extra copy (~0.5 ms/step at train RPN shapes)
     npad = -(-n // 32) * 32
     if npad != n:
-        sup = jnp.pad(sup, ((0, 0), (0, npad - n)))
+        boxes_j = jnp.pad(sorted_boxes, ((0, npad - n), (0, 0)))
+        valid_j = jnp.pad(sorted_valid, (0, npad - n))
+    else:
+        boxes_j, valid_j = sorted_boxes, sorted_valid
+
+    iou = pairwise_iou(sorted_boxes, boxes_j)  # (N, NPAD)
+    # sup[i, j]: candidate j (earlier in score order, valid) can suppress i
+    earlier = jnp.arange(npad)[None, :] < jnp.arange(n)[:, None]
+    sup = (iou > iou_threshold) & earlier & valid_j[None, :]
     # barrier: keep the one-time pack from being fused (and the IoU matrix
     # from being recomputed) inside the while body
     supw = jax.lax.optimization_barrier(_pack_bits(sup))  # (N, W) uint32

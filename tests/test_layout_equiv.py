@@ -165,3 +165,42 @@ class TestSpatialPadDense:
         o8 = chm.apply(vc, x8)
         for a, b in zip(jax.tree_util.tree_leaves(o7), jax.tree_util.tree_leaves(o8)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+class TestGroupedBackward:
+    def test_grouped_bit_equals_serialized(self):
+        # the image-interleaved concurrent RMW schedule must reproduce the
+        # serialized backward BIT-exactly (only same-image ROIs share dbuf
+        # cells and the interleave preserves each image's ROI order); also
+        # verified bit-exact on v5e hardware (DESIGN 17e)
+        import threedod.ops.roi_align_pallas as rap
+
+        rng = np.random.RandomState(7)
+        B = 2
+        feats = {
+            "p2": jnp.asarray(rng.randn(B, 64, 80, 128).astype(np.float32)),
+            "p3": jnp.asarray(rng.randn(B, 32, 40, 128).astype(np.float32)),
+        }
+        xy = rng.uniform(-10, 250, (B, 40, 2)).astype(np.float32)
+        wh = np.exp(rng.uniform(np.log(4), np.log(200), (B, 40, 2))).astype(np.float32)
+        boxes = jnp.asarray(np.clip(np.concatenate([xy, xy + wh], -1), 0, None))
+        cot = jnp.asarray(rng.randn(B, 40, 7, 7, 128).astype(np.float32))
+
+        def loss(f):
+            return jnp.sum(rap.multilevel_roi_align_tpu(f, boxes) * cot)
+
+        old_interp, old_grouped = rap.FORCE_INTERPRET, rap.BWD_GROUPED
+        try:
+            rap.FORCE_INTERPRET = True
+            rap.BWD_GROUPED = True
+            rap._make_pooler.cache_clear()
+            g1 = jax.grad(loss)(feats)
+            rap.BWD_GROUPED = False
+            rap._make_pooler.cache_clear()
+            g0 = jax.grad(loss)(feats)
+        finally:
+            rap.FORCE_INTERPRET = old_interp
+            rap.BWD_GROUPED = old_grouped
+            rap._make_pooler.cache_clear()
+        for k in feats:
+            assert np.array_equal(np.asarray(g1[k]), np.asarray(g0[k])), k

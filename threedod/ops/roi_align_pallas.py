@@ -72,6 +72,19 @@ BUFFER_CONCAT = False
 # parity is pinned for both settings by the CPU suite).
 TAPS_EXPANDED = False
 
+# Grouped RMW backward (see _bwd_kernel / _pallas_backward): when True and
+# the call is batched with B >= rois_per_step, ROIs are reordered
+# image-interleaved (k-th processed ROI comes from image k % B), so every
+# in-step group of R <= B ROIs is pairwise DISJOINT in the Y-stacked plane
+# (different images own different row bands — a window spills at most
+# WINDOW_Y - 1 rows past its level, strictly inside its image's h_stack
+# band). The kernel then runs the group's reads/adds/writes concurrently
+# and drains all writes at the step boundary, cutting the per-ROI
+# serialized RMW latency ~R-fold. BIT-IDENTICAL accumulation: only
+# same-image ROIs share dbuf cells, and the interleave preserves each
+# image's ROI order (one per step, steps in original order).
+BWD_GROUPED = True
+
 # Pipelined RMW backward (see _bwd_kernel): when True, the next ROI's
 # window read is issued before the in-flight write drains whenever the two
 # windows are provably disjoint (precomputed conf flags). Measured on v5e
@@ -607,7 +620,8 @@ def _pallas_forward(
     return out.reshape(b, p["n_img"], sp, sp, c) if p["batched"] else out
 
 
-def _bwd_kernel(scal_ref, nxt_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem):
+def _bwd_kernel(scal_ref, nxt_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win, rsem, wsem,
+                grouped: bool = False):
     del dbuf_in  # aliased to dbuf_ref (the output) — all access goes there
     """Backward: accumulate dwin = Mᵀ·g into the stacked f32 grad buffer.
 
@@ -723,6 +737,40 @@ def _bwd_kernel(scal_ref, nxt_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win
         def _():
             wr(sref, j, slot, "wait")
 
+    if grouped:
+        # concurrent group schedule (see BWD_GROUPED): the step's R ROIs
+        # are pairwise disjoint by construction (one per image), so all
+        # reads launch together, adds land as their reads drain, all
+        # writes fly together, and the step boundary drains every write
+        # (slot reuse next step would clobber in-flight buffers; the
+        # drain also serializes each image's own RMW chain, which is
+        # exactly one lane per step).
+        for j in range(r):
+            rd(scal_ref, j, j, "start")
+        for j in range(r):
+            small = scal_ref[0, 2, j] == 1
+            mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
+            dwin = jnp.dot(
+                mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec
+            )
+            rd(scal_ref, j, j, "wait")
+
+            @pl.when(small)
+            def _():
+                win[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :] = (
+                    win[j, pl.ds(0, SMALL_Y), pl.ds(0, BWD_SMALL_X), :]
+                    + dwin.reshape(WINDOW_Y, BWD_X, c)[:SMALL_Y, :BWD_SMALL_X]
+                )
+
+            @pl.when(jnp.logical_not(small))
+            def _():
+                win[j] = win[j] + dwin.reshape(WINDOW_Y, BWD_X, c)
+
+            wr(scal_ref, j, j, "start")
+        for j in range(r):
+            wr(scal_ref, j, j, "wait")
+        return
+
     if not BWD_PIPELINE:
         # strictly serialized schedule: write drains before the next read
         for j in range(r):
@@ -804,9 +852,34 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
     s = output_size
     b = p["b"]
 
+    # grouped schedule eligibility (see BWD_GROUPED): batched, no pad
+    # ROIs, and every in-step group of rois_per_step spans distinct images
+    # under the interleave (requires rois_per_step <= B)
+    n_img = p["n_img"]
+    grouped = (
+        BWD_GROUPED and p["batched"] and n_pad == n
+        and b >= rois_per_step and n == b * n_img
+    )
+    g = g.reshape(n, s, s, c)
+    if grouped:
+        # image-interleaved ROI order: processed ROI k comes from image
+        # k % b (pure reshape-transposes, no gathers); per-image order is
+        # preserved so each dbuf cell sees the same accumulation sequence
+        def interleave(x):
+            return jnp.swapaxes(
+                x.reshape((b, n_img) + x.shape[1:]), 0, 1
+            ).reshape((n,) + x.shape[1:])
+
+        y0w = interleave(y0w)
+        x0w = interleave(x0w)
+        small = interleave(small)
+        ay = interleave(ay)
+        ax = interleave(ax)
+        g = interleave(g)
+
     # cotangent rows (sy, sx) padded to (S_PAD^2, C), f32
     gp = jnp.zeros((n_pad, S_PAD, S_PAD, c), jnp.float32)
-    gp = gp.at[:n, :s, :s].set(g.reshape(n, s, s, c).astype(jnp.float32))
+    gp = gp.at[:n, :s, :s].set(g.astype(jnp.float32))
     gp = gp.reshape(n_pad, S_PAD * S_PAD, c)
 
     dbuf = jnp.zeros((b * h_stack, w0, c), jnp.float32)
@@ -867,7 +940,7 @@ def _pallas_backward(features, boxes, g, output_size, strides, sampling_ratio):
         ],
     )
     out = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, grouped=grouped),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dbuf.shape, jnp.float32),
         # operands: scal, nxt, ay, ax, g, dbuf -> dbuf is operand 5

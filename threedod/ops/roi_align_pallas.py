@@ -747,11 +747,37 @@ def _bwd_kernel(scal_ref, nxt_ref, ay_ref, ax_ref, g_ref, dbuf_in, dbuf_ref, win
         # exactly one lane per step).
         for j in range(r):
             rd(scal_ref, j, j, "start")
+        # batched Mᵀ build, mirroring the forward's build_m: ALL R ROIs'
+        # (hw, ss) transposed weight matrices in 4 matmuls instead of 3
+        # per ROI (the kernel is MXU-op-latency bound once the RMW chain
+        # is grouped). Values bit-identical to the per-ROI expandT: the
+        # selector matmuls move single elements in f32 accumulation.
+        ayf = ay_ref[...].reshape(r * S_PAD, WINDOW_Y)
+        axf = ax_ref[...].reshape(r * S_PAD, BWD_X)
+        t_y = jax.lax.dot_general(
+            rowsT_y, ayf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)  # (hw, r*S_PAD): [(h,w), (j,sy)] = ay_j[sy, h]
+        t_x = jax.lax.dot_general(
+            rowsT_x, axf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dt)
+        rr2 = jax.lax.broadcasted_iota(jnp.int32, (r * S_PAD, r * ss), 0)
+        cc2 = jax.lax.broadcasted_iota(jnp.int32, (r * S_PAD, r * ss), 1)
+        same_j = (rr2 // S_PAD) == (cc2 // ss)
+        sel_y = (same_j & ((rr2 % S_PAD) == (cc2 % ss) // S_PAD)).astype(dt)
+        sel_x = (same_j & ((rr2 % S_PAD) == (cc2 % ss) % S_PAD)).astype(dt)
+        mT_all = jnp.dot(
+            t_y, sel_y, preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt) * jnp.dot(
+            t_x, sel_x, preferred_element_type=jnp.float32, precision=prec
+        ).astype(dt)  # (hw, r*ss)
         for j in range(r):
             small = scal_ref[0, 2, j] == 1
-            mT = expandT(rowsT_y, ay_ref[j], colsT_y) * expandT(rowsT_x, ax_ref[j], colsT_x)
             dwin = jnp.dot(
-                mT, g_ref[j].astype(dt), preferred_element_type=jnp.float32, precision=prec
+                mT_all[:, j * ss : (j + 1) * ss],
+                g_ref[j].astype(dt),
+                preferred_element_type=jnp.float32, precision=prec,
             )
             rd(scal_ref, j, j, "wait")
 
